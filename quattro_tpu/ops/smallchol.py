@@ -1,0 +1,97 @@
+"""Batched Cholesky factorize-and-solve for tiny SPD systems.
+
+The backward pass solves one m x m SPD system (regularized Q_uu) per horizon
+step; m is 1 (cart-pole) or 4 (quadrotor). ``lax.linalg`` routines are built
+for big matrices and lower poorly for huge batches of tiny ones on TPU; here
+the Cholesky-Crout factorization and both triangular solves are fully unrolled
+over the (static, small) matrix dimension, so a batch of B systems becomes
+O(m^2) *elementwise vector ops* over B-length lanes — pure VPU code with no
+data-dependent control flow.
+
+Replaces the reference's explicit ``np.linalg.inv(Q_uu_reg)``
+(quattro_ilqr_tf.py:306) — a quirk not to replicate (SURVEY.md §7.8).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def _unrolled_cholesky(a: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky of (..., m, m) SPD matrices, unrolled over m.
+
+    Returns lower-triangular L with A = L L^T. Python loops run at trace time
+    (m is static and small); all array ops are batched over leading dims.
+    """
+    m = a.shape[-1]
+    cols = [[None] * m for _ in range(m)]  # cols[i][j] = L[i, j], j <= i
+    for j in range(m):
+        diag = a[..., j, j]
+        for k in range(j):
+            diag = diag - cols[j][k] * cols[j][k]
+        ljj = jnp.sqrt(diag)
+        cols[j][j] = ljj
+        inv_ljj = 1.0 / ljj
+        for i in range(j + 1, m):
+            off = a[..., i, j]
+            for k in range(j):
+                off = off - cols[i][k] * cols[j][k]
+            cols[i][j] = off * inv_ljj
+    rows = [
+        jnp.stack(
+            [cols[i][j] if j <= i else jnp.zeros_like(cols[i][i]) for j in range(m)], axis=-1
+        )
+        for i in range(m)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def _forward_substitute(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L y = b for lower-triangular L; b is (..., m, r)."""
+    m = l.shape[-1]
+    ys = []
+    for i in range(m):
+        acc = b[..., i, :]
+        for k in range(i):
+            acc = acc - l[..., i, k][..., None] * ys[k]
+        ys.append(acc / l[..., i, i][..., None])
+    return jnp.stack(ys, axis=-2)
+
+
+def _back_substitute(l: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Solve L^T x = y for lower-triangular L; y is (..., m, r)."""
+    m = l.shape[-1]
+    xs: list = [None] * m
+    for i in reversed(range(m)):
+        acc = y[..., i, :]
+        for k in range(i + 1, m):
+            acc = acc - l[..., k, i][..., None] * xs[k]
+        xs[i] = acc / l[..., i, i][..., None]
+    return jnp.stack(xs, axis=-2)
+
+
+def batched_cholesky_solve(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve A X = B for batches of small SPD A.
+
+    Args:
+        a: (..., m, m) SPD matrices.
+        b: (..., m, r) right-hand sides.
+
+    Returns:
+        (x, l): solution (..., m, r) and the Cholesky factor (..., m, m).
+    """
+    l = _unrolled_cholesky(a)
+    y = _forward_substitute(l, b)
+    x = _back_substitute(l, y)
+    return x, l
+
+
+def batched_spd_solve(a: jnp.ndarray, b: jnp.ndarray, small_dim_max: int = 8) -> jnp.ndarray:
+    """SPD solve dispatching on size: unrolled Cholesky for m <= small_dim_max,
+    LU (``jnp.linalg.solve``) otherwise."""
+    if a.shape[-1] <= small_dim_max:
+        x, _ = batched_cholesky_solve(a, b)
+        return x
+    return jnp.linalg.solve(a, b)

@@ -1,0 +1,72 @@
+"""Trajectory-batch parallel iLQR: vmap + mesh sharding.
+
+Replaces the reference's 10-process data-collection pool
+(examples/cartpole/training/training_data_collection.py:303-318) with
+thousands of trajectories solved per device dispatch: ``vmap`` over (x0,
+u_init) batches, sharded over the mesh's ``traj`` axis so each device solves
+its shard and only converged-cost reductions cross the interconnect.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from quattro_tpu.solver.ilqr import ILQRConfig, ILQRSolution, ilqr_solve
+
+
+def batched_ilqr_solve(
+    dynamics: Callable,
+    cost: Callable,
+    final_cost: Callable,
+    x0_batch: jnp.ndarray,  # (B, n)
+    u_init_batch: jnp.ndarray,  # (B, H, m)
+    config: ILQRConfig = ILQRConfig(),
+) -> ILQRSolution:
+    """Solve a batch of independent iLQR problems in one computation.
+
+    All batch elements run the full ``max_iter`` loop lockstep-free via
+    per-element ``while_loop``? No — vmap of while_loop runs until ALL lanes
+    converge, masking finished lanes. That is exactly the right behavior on
+    SIMD hardware: wall-clock = slowest problem, throughput = batch size.
+    """
+    solve = partial(ilqr_solve, dynamics, cost, final_cost, config=config)
+    return jax.vmap(solve)(x0_batch, u_init_batch)
+
+
+def sharded_ilqr_solve(
+    dynamics: Callable,
+    cost: Callable,
+    final_cost: Callable,
+    x0_batch: jnp.ndarray,
+    u_init_batch: jnp.ndarray,
+    mesh: Mesh,
+    config: ILQRConfig = ILQRConfig(),
+    axis: str = "traj",
+) -> ILQRSolution:
+    """Batch solve with the batch axis sharded over the mesh.
+
+    The batch size must be divisible by the ``traj`` axis size. Each device
+    executes its shard of the vmapped solve; no cross-device communication is
+    needed (embarrassingly parallel, like the reference's process pool but on
+    the ICI-connected mesh).
+    """
+    sharding = NamedSharding(mesh, PartitionSpec(axis))
+    x0_sharded = jax.device_put(x0_batch, sharding)
+    u_sharded = jax.device_put(u_init_batch, sharding)
+
+    solve = partial(batched_ilqr_solve, dynamics, cost, final_cost, config=config)
+    out_shardings = ILQRSolution(
+        x_seq=sharding,
+        u_seq=sharding,
+        cost=sharding,
+        iterations=sharding,
+        converged=sharding,
+        k_seq=sharding,
+        big_k_seq=sharding,
+    )
+    return jax.jit(solve, out_shardings=out_shardings)(x0_sharded, u_sharded)

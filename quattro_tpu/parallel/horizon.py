@@ -1,0 +1,175 @@
+"""Horizon-partitioned parallel Riccati over a device mesh.
+
+The sequence axis of this workload is the trajectory horizon H (SURVEY.md
+§5.7): the reference walks it strictly sequentially. Here the associative-scan
+Riccati is partitioned across the mesh's ``horizon`` axis with a two-level
+scheme (the BASELINE.json north star's "boundary value-function halo
+exchange"):
+
+1. each device reduces its local block of stage elements to ONE suffix element
+   (local associative scan, O(log(H/D)) depth on-chip);
+2. the per-device block elements are combined across devices — an exclusive
+   suffix scan over D elements realized with ``lax.ppermute`` hops (the halo
+   exchange: what travels between devices is exactly the boundary value
+   function (V_x, V_xx) in element form, O(n^2) floats per hop);
+3. each device composes its local inclusive suffixes with the incoming
+   boundary element — embarrassingly parallel.
+
+Built on ``shard_map`` so the communication pattern is explicit and testable
+on a CPU-emulated mesh (tests/conftest.py forces 8 virtual devices).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from quattro_tpu.solver.derivatives import CostExpansion
+from quattro_tpu.solver.riccati import (
+    RiccatiResult,
+    ValueElement,
+    _combine,
+    _gains_and_value,
+    _q_expansion,
+    _stage_elements,
+    _terminal_element,
+)
+
+
+def _local_suffix_scan(elems: ValueElement) -> ValueElement:
+    """Inclusive suffix scan of a local block of elements."""
+    return jax.lax.associative_scan(lambda a, b: _combine(b, a), elems, reverse=True)
+
+
+def _identity_element(n: int, dtype) -> ValueElement:
+    """Neutral element of the composition: V passes through unchanged.
+
+    (A=I, b=0, C=0, eta=0, J=0): combine(e, identity) == combine(identity, e)
+    == e.
+    """
+    return ValueElement(
+        a=jnp.eye(n, dtype=dtype),
+        b=jnp.zeros((n,), dtype),
+        c=jnp.zeros((n, n), dtype),
+        eta=jnp.zeros((n,), dtype),
+        j=jnp.zeros((n, n), dtype),
+    )
+
+
+def sharded_suffix_value_functions(
+    mesh: Mesh,
+    a_seq: jnp.ndarray,  # (H, n, n), H divisible by horizon-axis size
+    b_seq: jnp.ndarray,
+    cost_exp: CostExpansion,
+    v_x_final: jnp.ndarray,
+    v_xx_final: jnp.ndarray,
+    reg: float = 1e-6,
+    axis: str = "horizon",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(V_x[t], V_xx[t]) for t = 0..H-1 with the horizon sharded over ``axis``.
+
+    Returns arrays of shape (H, n) / (H, n, n): entry t is the value function
+    at step t; the terminal V_H is the given (v_x_final, v_xx_final). The
+    layout keeps every shard the same size (H/D entries per device).
+    """
+    n = v_x_final.shape[0]
+    dtype = a_seq.dtype
+    num_shards = mesh.shape[axis]
+
+    def local_block(a_blk, b_blk, lx, lu, lxx, luu, lux):
+        """Runs per device on its (H/D)-slice of the horizon."""
+        idx = jax.lax.axis_index(axis)
+        exp = CostExpansion(lx, lu, lxx, luu, lux)
+        elems = _stage_elements(a_blk, b_blk, exp, reg)
+
+        # The LAST shard appends the terminal element to its block so the
+        # global chain ends with V_T. Other shards append the identity.
+        term = _terminal_element(v_x_final, v_xx_final)
+        ident = _identity_element(n, dtype)
+        tail = jax.tree.map(
+            lambda t, i: jnp.where(idx == num_shards - 1, t, i), term, ident
+        )
+        elems = ValueElement(
+            *(jnp.concatenate([e, t[None]], axis=0) for e, t in zip(elems, tail))
+        )
+
+        # 1) local inclusive suffix scan (on-chip, O(log) depth)
+        local = _local_suffix_scan(elems)
+        block_elem = jax.tree.map(lambda x: x[0], local)  # whole-block element
+
+        # 2) exclusive suffix scan of block elements across devices:
+        #    device d needs  block[d+1] . block[d+2] . ... . block[D-1].
+        #    Linear ring: D-1 ppermute hops from right to left, accumulating.
+        #    What moves is the boundary value element — the (V_x, V_xx) halo.
+        acc = ident
+        incoming = block_elem
+        for hop in range(1, num_shards):
+            shifted = jax.tree.map(
+                lambda x: jax.lax.ppermute(
+                    x, axis, [(i, (i - 1) % num_shards) for i in range(num_shards)]
+                ),
+                incoming,
+            )
+            # After `hop` hops device d holds block[d+hop] (mod D). Only
+            # compose genuine right-neighbors — wrapped-around elements are
+            # masked out per hop.
+            take = idx + hop <= num_shards - 1
+            acc = jax.tree.map(
+                lambda new, old: jnp.where(take, new, old),
+                _combine(acc, shifted),
+                acc,
+            )
+            incoming = shifted
+
+        # 3) compose local suffixes (dropping the appended tail slot) with the
+        #    cross-device suffix of everything to the right of this block.
+        local_main = jax.tree.map(lambda x: x[:-1], local)
+        combined = _combine(local_main, jax.tree.map(lambda x: x[None], acc))
+        # combined[i] = V at the global time of local index i.
+        return -combined.eta, combined.j
+
+    spec = PartitionSpec(axis)
+    from jax.experimental.shard_map import shard_map
+
+    v_x_all, v_xx_all = shard_map(
+        local_block,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, spec, spec),
+        out_specs=(spec, spec),
+    )(a_seq, b_seq, cost_exp.l_x, cost_exp.l_u, cost_exp.l_xx, cost_exp.l_uu, cost_exp.l_ux)
+
+    # v_x_all[t] is V at step t (t = 0..H-1); the caller also needs V_T.
+    return v_x_all, v_xx_all
+
+
+def sharded_riccati_backward(
+    mesh: Mesh,
+    a_seq: jnp.ndarray,
+    b_seq: jnp.ndarray,
+    cost_exp: CostExpansion,
+    v_x_final: jnp.ndarray,
+    v_xx_final: jnp.ndarray,
+    reg: float = 1e-6,
+    axis: str = "horizon",
+) -> RiccatiResult:
+    """Full horizon-partitioned backward pass: sharded suffix Vs + local gains."""
+    v_x_head, v_xx_head = sharded_suffix_value_functions(
+        mesh, a_seq, b_seq, cost_exp, v_x_final, v_xx_final, reg, axis
+    )
+    v_x_seq = jnp.concatenate([v_x_head, v_x_final[None]], axis=0)
+    v_xx_seq = jnp.concatenate([v_xx_head, v_xx_final[None]], axis=0)
+
+    def gains(a, b, l_x, l_u, l_xx, l_uu, l_ux, v_x, v_xx):
+        q = _q_expansion(a, b, l_x, l_u, l_xx, l_uu, l_ux, v_x, v_xx)
+        k, big_k, _, _ = _gains_and_value(*q, reg)
+        return k, big_k
+
+    k_seq, big_k_seq = jax.vmap(gains)(
+        a_seq, b_seq, cost_exp.l_x, cost_exp.l_u, cost_exp.l_xx, cost_exp.l_uu,
+        cost_exp.l_ux, v_x_seq[1:], v_xx_seq[1:],
+    )
+    return RiccatiResult(k_seq, big_k_seq, v_x_seq, v_xx_seq)

@@ -1,0 +1,319 @@
+"""iLQR drivers: pure, logging, and hybrid (transformer-accelerated) solves.
+
+TPU-native re-design of ``iLQR_TF.optimize``
+(quattro_ilqr_tf/quattro_ilqr_tf.py:423-591):
+
+- the outer iteration loop is a ``lax.while_loop`` (early exit on convergence,
+  shape-static) instead of a Python loop;
+- the entire solve — rollout, autodiff linearization, Riccati scan, batched
+  line search, and (in hybrid mode) the transformer forward — is ONE jitted
+  XLA computation. The reference crosses a host<->accelerator boundary on every
+  ``tf.predict`` call (transformer_ilqr.py:315-323); here the model's matmuls
+  execute on the MXU inside the same program as the solver.
+
+Convergence contract (quattro_ilqr_tf.py:440-472): accept the first step size
+with cost <= current; stop when no step is accepted OR |J_prev - J_new| < tol.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quattro_tpu.solver.derivatives import (
+    linearize_dynamics,
+    quadratize_cost,
+    quadratize_final_cost,
+)
+from quattro_tpu.solver.riccati import (
+    riccati_backward,
+    riccati_backward_associative,
+)
+from quattro_tpu.solver.rollout import (
+    DEFAULT_ALPHAS,
+    line_search,
+    simulate,
+    trajectory_cost,
+)
+
+Dynamics = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+RunningCost = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+FinalCost = Callable[[jnp.ndarray], jnp.ndarray]
+# predict(x_err_seq (H+1, n), prompt (W, m*(1+n))) -> (H - W, m*(1+n))
+GainPredictFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+class ILQRConfig(NamedTuple):
+    """Solver configuration (static under jit).
+
+    Defaults mirror the reference constructor (quattro_ilqr_tf.py:74-76).
+    ``parallel_riccati`` selects the associative-scan backward pass
+    (O(log H) depth) over the sequential scan.
+    """
+
+    max_iter: int = 100
+    tol: float = 1e-3
+    reg: float = 1e-6
+    alphas: Tuple[float, ...] = DEFAULT_ALPHAS
+    parallel_riccati: bool = False
+
+
+class ILQRSolution(NamedTuple):
+    x_seq: jnp.ndarray  # (H+1, n)
+    u_seq: jnp.ndarray  # (H, m)
+    cost: jnp.ndarray  # scalar
+    iterations: jnp.ndarray  # scalar int, number of iterations executed
+    converged: jnp.ndarray  # scalar bool
+    k_seq: jnp.ndarray  # (H, m) gains from the last backward pass
+    big_k_seq: jnp.ndarray  # (H, m, n)
+
+
+class ILQRLogs(NamedTuple):
+    """Per-iteration solver telemetry, stacked over max_iter.
+
+    The structured-array replacement for the reference's list-of-dicts logs
+    (quattro_ilqr_tf.py:453-466) — these drive both observability and
+    training-data generation. ``valid[i]`` marks iterations actually executed.
+    """
+
+    x_seq: jnp.ndarray  # (max_iter, H+1, n) trajectory at iteration start
+    u_seq: jnp.ndarray  # (max_iter, H, m) controls after the iteration's update
+    cost: jnp.ndarray  # (max_iter,) cost at iteration start
+    new_cost: jnp.ndarray  # (max_iter,) cost after the update
+    k_seq: jnp.ndarray  # (max_iter, H, m)
+    big_k_seq: jnp.ndarray  # (max_iter, H, m, n)
+    alpha: jnp.ndarray  # (max_iter,) accepted step size (0 if none)
+    found_update: jnp.ndarray  # (max_iter,) bool
+    valid: jnp.ndarray  # (max_iter,) bool
+
+
+def _backward(config: ILQRConfig):
+    return riccati_backward_associative if config.parallel_riccati else riccati_backward
+
+
+def _ilqr_iteration(
+    dynamics: Dynamics,
+    cost: RunningCost,
+    final_cost: FinalCost,
+    config: ILQRConfig,
+    x0: jnp.ndarray,
+    x_seq: jnp.ndarray,
+    u_seq: jnp.ndarray,
+    current_cost: jnp.ndarray,
+):
+    """One full iLQR iteration: linearize -> Riccati -> line search."""
+    a_seq, b_seq = linearize_dynamics(dynamics, x_seq, u_seq)
+    cost_exp = quadratize_cost(cost, x_seq, u_seq)
+    final_exp = quadratize_final_cost(final_cost, x_seq[-1])
+
+    res = _backward(config)(a_seq, b_seq, cost_exp, final_exp.v_x, final_exp.v_xx, config.reg)
+
+    alphas = jnp.asarray(config.alphas, dtype=x_seq.dtype)
+    found, alpha, new_x, new_u, new_cost = line_search(
+        dynamics, cost, final_cost, x0, x_seq, u_seq, res.k_seq, res.big_k_seq,
+        current_cost, alphas,
+    )
+    return found, alpha, new_x, new_u, new_cost, res.k_seq, res.big_k_seq
+
+
+def ilqr_solve(
+    dynamics: Dynamics,
+    cost: RunningCost,
+    final_cost: FinalCost,
+    x0: jnp.ndarray,
+    u_init: jnp.ndarray,
+    config: ILQRConfig = ILQRConfig(),
+) -> ILQRSolution:
+    """Pure iLQR with early exit (``lax.while_loop``).
+
+    Semantics: the ``tf is None`` branch of ``optimize``
+    (quattro_ilqr_tf.py:425-479).
+    """
+    x_init = simulate(dynamics, x0, u_init)
+    cost_init = trajectory_cost(cost, final_cost, x_init, u_init)
+    horizon, m = u_init.shape
+    n = x0.shape[0]
+
+    def cond(state):
+        _, _, _, _, _, iteration, done = state
+        return jnp.logical_and(iteration < config.max_iter, jnp.logical_not(done))
+
+    def body(state):
+        x_seq, u_seq, current_cost, _, _, iteration, _ = state
+        found, _, new_x, new_u, new_cost, k_seq, big_k_seq = _ilqr_iteration(
+            dynamics, cost, final_cost, config, x0, x_seq, u_seq, current_cost
+        )
+        done = jnp.logical_or(
+            jnp.logical_not(found), jnp.abs(current_cost - new_cost) < config.tol
+        )
+        return (new_x, new_u, new_cost, k_seq, big_k_seq, iteration + 1, done)
+
+    zeros_k = jnp.zeros((horizon, m), dtype=u_init.dtype)
+    zeros_big_k = jnp.zeros((horizon, m, n), dtype=u_init.dtype)
+    init = (x_init, u_init, cost_init, zeros_k, zeros_big_k, jnp.asarray(0), jnp.asarray(False))
+    x_seq, u_seq, final_cost_val, k_seq, big_k_seq, iterations, done = jax.lax.while_loop(
+        cond, body, init
+    )
+    return ILQRSolution(x_seq, u_seq, final_cost_val, iterations, done, k_seq, big_k_seq)
+
+
+def ilqr_solve_with_logs(
+    dynamics: Dynamics,
+    cost: RunningCost,
+    final_cost: FinalCost,
+    x0: jnp.ndarray,
+    u_init: jnp.ndarray,
+    config: ILQRConfig = ILQRConfig(),
+) -> Tuple[ILQRSolution, ILQRLogs]:
+    """Pure iLQR via fixed-trip ``lax.scan``, emitting per-iteration logs.
+
+    Used by the training-data pipeline (the reference generates training rows
+    from iteration logs — SURVEY.md §7.7). Iterations past convergence are
+    masked no-ops so the result matches ``ilqr_solve`` exactly.
+    """
+    x_init = simulate(dynamics, x0, u_init)
+    cost_init = trajectory_cost(cost, final_cost, x_init, u_init)
+
+    def body(state, _):
+        x_seq, u_seq, current_cost, iteration, done = state
+        found, alpha, new_x, new_u, new_cost, k_seq, big_k_seq = _ilqr_iteration(
+            dynamics, cost, final_cost, config, x0, x_seq, u_seq, current_cost
+        )
+        active = jnp.logical_not(done)
+        sel = lambda new, old: jnp.where(active, new, old)
+        x_out = sel(new_x, x_seq)
+        u_out = sel(new_u, u_seq)
+        cost_out = jnp.where(active, new_cost, current_cost)
+        now_done = jnp.logical_or(
+            jnp.logical_not(found), jnp.abs(current_cost - new_cost) < config.tol
+        )
+        done_next = jnp.logical_or(done, now_done)
+        log = (
+            x_seq,
+            u_out,
+            current_cost,
+            cost_out,
+            k_seq,
+            big_k_seq,
+            jnp.where(active, alpha, 0.0),
+            jnp.logical_and(active, found),
+            active,
+        )
+        return (x_out, u_out, cost_out, iteration + active.astype(iteration.dtype), done_next), log
+
+    init = (x_init, u_init, cost_init, jnp.asarray(0), jnp.asarray(False))
+    (x_seq, u_seq, cost_val, iterations, done), logs = jax.lax.scan(
+        body, init, None, length=config.max_iter
+    )
+    log_tuple = ILQRLogs(*logs)
+    # Final gains: last valid backward pass.
+    last = jnp.maximum(iterations - 1, 0)
+    solution = ILQRSolution(
+        x_seq, u_seq, cost_val, iterations, done,
+        log_tuple.k_seq[last], log_tuple.big_k_seq[last],
+    )
+    return solution, log_tuple
+
+
+def pack_gain_tokens(k_seq: jnp.ndarray, big_k_seq: jnp.ndarray) -> jnp.ndarray:
+    """Gain token layout: ``[k (m) | K.flatten row-major (m*n)]`` per step.
+
+    Token dim = m*(1+n) (cart-pole 1*5=5, quadrotor 4*13=52); matches the
+    prompt packing at quattro_ilqr_tf.py:496-502 / transformer_ilqr.py:77-84.
+    """
+    steps, m = k_seq.shape
+    return jnp.concatenate([k_seq, big_k_seq.reshape(steps, -1)], axis=-1)
+
+
+def unpack_gain_tokens(tokens: jnp.ndarray, m: int, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of ``pack_gain_tokens``: (T, m(1+n)) -> k (T, m), K (T, m, n).
+
+    Matches the unpack at quattro_ilqr_tf.py:509-514.
+    """
+    steps = tokens.shape[0]
+    kk = tokens.reshape(steps, m, 1 + n)
+    return kk[:, :, 0], kk[:, :, 1:]
+
+
+def hybrid_ilqr_solve(
+    dynamics: Dynamics,
+    cost: RunningCost,
+    final_cost: FinalCost,
+    predict_fn: GainPredictFn,
+    window: int,
+    x0: jnp.ndarray,
+    u_init: jnp.ndarray,
+    x_ref: jnp.ndarray,
+    config: ILQRConfig = ILQRConfig(),
+    state_offset: Optional[jnp.ndarray] = None,
+) -> ILQRSolution:
+    """Transformer-accelerated iLQR.
+
+    Per iteration (semantics: quattro_ilqr_tf.py:481-591): run the exact
+    Riccati backward pass only over the LAST ``window`` steps, pack those tail
+    gains as the prompt, let the learned model predict the FIRST
+    ``H - window`` gains in one parallel forward, concatenate
+    ``[predicted head, exact tail]``, then the standard batched line search.
+
+    ``predict_fn`` must be a jittable function (e.g. a flax apply with bound
+    params + normalizer); it receives the state-error trajectory
+    ``x_seq - x_ref + state_offset`` (H+1 rows, quattro_ilqr_tf.py:504) and the
+    packed prompt, and returns DE-normalized gain tokens.
+    """
+    if state_offset is None:
+        state_offset = jnp.zeros_like(x0)
+
+    x_init = simulate(dynamics, x0, u_init)
+    cost_init = trajectory_cost(cost, final_cost, x_init, u_init)
+    horizon, m = u_init.shape
+    n = x0.shape[0]
+
+    def hybrid_iteration(x_seq, u_seq, current_cost):
+        # Exact tail: linearize/quadratize only the last `window` steps.
+        tail_x = x_seq[horizon - window :]
+        tail_u = u_seq[horizon - window :]
+        a_tail, b_tail = linearize_dynamics(dynamics, tail_x, tail_u)
+        tail_exp = quadratize_cost(cost, tail_x, tail_u)
+        final_exp = quadratize_final_cost(final_cost, x_seq[-1])
+        res = riccati_backward(
+            a_tail, b_tail, tail_exp, final_exp.v_x, final_exp.v_xx, config.reg
+        )
+
+        prompt = pack_gain_tokens(res.k_seq, res.big_k_seq)  # (window, m(1+n))
+        x_err = x_seq - x_ref + state_offset  # (H+1, n)
+        predicted = predict_fn(x_err, prompt)  # (H - window, m(1+n))
+        k_head, big_k_head = unpack_gain_tokens(predicted, m, n)
+
+        k_full = jnp.concatenate([k_head, res.k_seq], axis=0)
+        big_k_full = jnp.concatenate([big_k_head, res.big_k_seq], axis=0)
+
+        alphas = jnp.asarray(config.alphas, dtype=x_seq.dtype)
+        found, alpha, new_x, new_u, new_cost = line_search(
+            dynamics, cost, final_cost, x0, x_seq, u_seq, k_full, big_k_full,
+            current_cost, alphas,
+        )
+        return found, alpha, new_x, new_u, new_cost, k_full, big_k_full
+
+    def cond(state):
+        _, _, _, _, _, iteration, done = state
+        return jnp.logical_and(iteration < config.max_iter, jnp.logical_not(done))
+
+    def body(state):
+        x_seq, u_seq, current_cost, _, _, iteration, _ = state
+        found, _, new_x, new_u, new_cost, k_seq, big_k_seq = hybrid_iteration(
+            x_seq, u_seq, current_cost
+        )
+        done = jnp.logical_or(
+            jnp.logical_not(found), jnp.abs(current_cost - new_cost) < config.tol
+        )
+        return (new_x, new_u, new_cost, k_seq, big_k_seq, iteration + 1, done)
+
+    zeros_k = jnp.zeros((horizon, m), dtype=u_init.dtype)
+    zeros_big_k = jnp.zeros((horizon, m, n), dtype=u_init.dtype)
+    init = (x_init, u_init, cost_init, zeros_k, zeros_big_k, jnp.asarray(0), jnp.asarray(False))
+    x_seq, u_seq, cost_val, k_seq, big_k_seq, iterations, done = jax.lax.while_loop(
+        cond, body, init
+    )
+    return ILQRSolution(x_seq, u_seq, cost_val, iterations, done, k_seq, big_k_seq)

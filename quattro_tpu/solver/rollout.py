@@ -1,0 +1,122 @@
+"""Forward rollouts and the batched first-accept line search.
+
+Replaces the reference's sequential Python rollouts
+(quattro_ilqr_tf/quattro_ilqr_tf.py:127-143, 376-417) with ``lax.scan``, and
+its sequential early-exit line search (:440-451) with ONE batched evaluation of
+all step sizes (vmap over alpha) followed by a first-accepting-index select —
+identical accept semantics (first alpha with cost <= current), constant
+compiled shape, and all six rollouts run as a single batched computation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Dynamics = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+RunningCost = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+FinalCost = Callable[[jnp.ndarray], jnp.ndarray]
+
+# Reference line-search schedule (quattro_ilqr_tf.py:440).
+DEFAULT_ALPHAS = (1.0, 0.5, 0.25, 0.1, 0.05, 0.01)
+
+
+def simulate(dynamics: Dynamics, x0: jnp.ndarray, u_seq: jnp.ndarray) -> jnp.ndarray:
+    """Roll the open-loop control sequence forward: returns (H+1, n) states.
+
+    Semantics: quattro_ilqr_tf.py:127-132.
+    """
+
+    def step(x, u):
+        x_next = dynamics(x, u)
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(step, x0, u_seq)
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
+def trajectory_cost(
+    cost: RunningCost,
+    final_cost: FinalCost,
+    x_seq: jnp.ndarray,
+    u_seq: jnp.ndarray,
+) -> jnp.ndarray:
+    """Total cost sum_t L(x_t, u_t) + Lf(x_H) (quattro_ilqr_tf.py:138-143)."""
+    running = jnp.sum(jax.vmap(cost)(x_seq[:-1], u_seq))
+    return running + final_cost(x_seq[-1])
+
+
+def feedback_rollout(
+    dynamics: Dynamics,
+    cost: RunningCost,
+    final_cost: FinalCost,
+    x0: jnp.ndarray,
+    x_ref_seq: jnp.ndarray,
+    u_ref_seq: jnp.ndarray,
+    k_seq: jnp.ndarray,
+    big_k_seq: jnp.ndarray,
+    alpha: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Closed-loop rollout ``u_t = u_ref_t + alpha (k_t + K_t (x_t - x_ref_t))``.
+
+    Semantics: quattro_ilqr_tf.py:376-390. Returns (x_seq, u_seq, total_cost).
+    """
+
+    def step(x, inp):
+        x_ref, u_ref, k, big_k = inp
+        du = k + big_k @ (x - x_ref)
+        u = u_ref + alpha * du
+        x_next = dynamics(x, u)
+        return x_next, (x_next, u)
+
+    _, (xs, us) = jax.lax.scan(step, x0, (x_ref_seq[:-1], u_ref_seq, k_seq, big_k_seq))
+    x_seq = jnp.concatenate([x0[None], xs], axis=0)
+    total = trajectory_cost(cost, final_cost, x_seq, us)
+    return x_seq, us, total
+
+
+def line_search(
+    dynamics: Dynamics,
+    cost: RunningCost,
+    final_cost: FinalCost,
+    x0: jnp.ndarray,
+    x_ref_seq: jnp.ndarray,
+    u_ref_seq: jnp.ndarray,
+    k_seq: jnp.ndarray,
+    big_k_seq: jnp.ndarray,
+    current_cost: jnp.ndarray,
+    alphas: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched backtracking line search with first-accept semantics.
+
+    All candidate step sizes are rolled out in ONE vmapped computation; the
+    chosen candidate is the FIRST (largest) alpha whose cost does not exceed
+    ``current_cost`` — byte-identical accept logic to the reference's
+    sequential loop (quattro_ilqr_tf.py:440-451) with none of its sequential
+    latency.
+
+    Returns:
+        (found, chosen_alpha, new_x_seq, new_u_seq, new_cost); when no
+        candidate is accepted, the reference trajectory and current cost are
+        returned unchanged with found=False.
+    """
+
+    def rollout(alpha):
+        return feedback_rollout(
+            dynamics, cost, final_cost, x0, x_ref_seq, u_ref_seq, k_seq, big_k_seq, alpha
+        )
+
+    cand_x, cand_u, cand_cost = jax.vmap(rollout)(alphas)
+
+    accepted = cand_cost <= current_cost
+    found = jnp.any(accepted)
+    # argmax over bool returns the first True; alphas are ordered descending.
+    idx = jnp.argmax(accepted)
+
+    new_x = jnp.where(found, cand_x[idx], x_ref_seq)
+    new_u = jnp.where(found, cand_u[idx], u_ref_seq)
+    new_cost = jnp.where(found, cand_cost[idx], current_cost)
+    chosen_alpha = jnp.where(found, alphas[idx], 0.0)
+    return found, chosen_alpha, new_x, new_u, new_cost

@@ -1,0 +1,17 @@
+"""Training pipeline: on-device data collection and the optax gain-model trainer.
+
+Replaces the reference's offline pipeline (examples/*/training/): the 10-process
+MuJoCo sweep becomes vmapped batched MPC rollouts on the mesh, pickle streams
+become stacked arrays, and the PyTorch loop becomes optax + jit.
+"""
+
+from quattro_tpu.training.collect import collect_gain_dataset, GainDataset, lhs_initial_states
+from quattro_tpu.training.train import TrainConfig, train_gain_predictor
+
+__all__ = [
+    "collect_gain_dataset",
+    "GainDataset",
+    "lhs_initial_states",
+    "TrainConfig",
+    "train_gain_predictor",
+]

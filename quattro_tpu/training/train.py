@@ -1,0 +1,129 @@
+"""optax training loop for the gain predictor.
+
+Semantics parity with ``TransformerILQR.fit`` (transformer_ilqr.py:102-208):
+z-score normalization fit on the training split, prompt = LAST ``prompt_len``
+gain tokens, target = FIRST ``H - prompt_len`` tokens (the time-reversed split
+matching the backward recursion: tail exact -> head predicted), Adam + MSE,
+early stopping on test loss with configurable patience, best-params restore.
+
+TPU-native differences: jit-compiled train step, on-device minibatching via
+permuted gathers, no host<->device copies inside the epoch loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from quattro_tpu.models.gain_predictor import GainPredictor
+from quattro_tpu.models.normalizer import DataNormalizer
+from quattro_tpu.training.collect import GainDataset
+
+
+class TrainConfig(NamedTuple):
+    """Defaults mirror transformer_ilqr.py:102 and the trainer CLIs
+    (examples/*/training/transformer_training.py:84-96)."""
+
+    num_epochs: int = 50
+    batch_size: int = 16
+    learning_rate: float = 1e-3
+    patience: int = 5
+    seed: int = 0
+
+
+class TrainResult(NamedTuple):
+    predictor: GainPredictor
+    train_loss_history: np.ndarray
+    test_loss_history: np.ndarray
+
+
+def _prepare(dataset: GainDataset, normalizer: DataNormalizer, prompt_len: int):
+    x = normalizer.transform_x(jnp.asarray(dataset.x_data))
+    kk = normalizer.transform_u(jnp.asarray(dataset.kk_data))
+    prompt = kk[:, -prompt_len:, :]
+    target = kk[:, : kk.shape[1] - prompt_len, :]
+    return x, prompt, target
+
+
+def train_gain_predictor(
+    predictor: GainPredictor,
+    train_data: GainDataset,
+    test_data: Optional[GainDataset] = None,
+    config: TrainConfig = TrainConfig(),
+) -> TrainResult:
+    """Fit the predictor; returns a new GainPredictor bound to trained params."""
+    prompt_len = predictor.prompt_len
+    normalizer = DataNormalizer.fit(
+        jnp.asarray(train_data.x_data), jnp.asarray(train_data.kk_data)
+    )
+
+    x, prompt, target = _prepare(train_data, normalizer, prompt_len)
+    num_rows = x.shape[0]
+    steps_per_epoch = max(num_rows // config.batch_size, 1)
+
+    module = predictor.module
+    params = predictor.params
+    tx = optax.adam(config.learning_rate)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, xb, pb, tb, dropout_key):
+        pred = module.apply(
+            {"params": p}, xb, pb, deterministic=False, rngs={"dropout": dropout_key}
+        )
+        return jnp.mean((pred - tb) ** 2)
+
+    @jax.jit
+    def train_step(p, opt_s, xb, pb, tb, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, xb, pb, tb, key)
+        updates, opt_s = tx.update(grads, opt_s)
+        return optax.apply_updates(p, updates), opt_s, loss
+
+    @jax.jit
+    def eval_loss(p, xb, pb, tb):
+        pred = module.apply({"params": p}, xb, pb, deterministic=True)
+        return jnp.mean((pred - tb) ** 2)
+
+    if test_data is not None:
+        x_test, prompt_test, target_test = _prepare(test_data, normalizer, prompt_len)
+
+    rng = jax.random.PRNGKey(config.seed)
+    best_loss = float("inf")
+    best_params = params
+    no_improvement = 0
+    train_hist, test_hist = [], []
+
+    for epoch in range(config.num_epochs):
+        rng, perm_key = jax.random.split(rng)
+        perm = jax.random.permutation(perm_key, num_rows)
+        epoch_loss = 0.0
+        for step in range(steps_per_epoch):
+            idx = perm[step * config.batch_size : (step + 1) * config.batch_size]
+            rng, dropout_key = jax.random.split(rng)
+            params, opt_state, loss = train_step(
+                params, opt_state, x[idx], prompt[idx], target[idx], dropout_key
+            )
+            epoch_loss += float(loss) * idx.shape[0]
+        train_hist.append(epoch_loss / (steps_per_epoch * config.batch_size))
+
+        if test_data is not None:
+            test_loss = float(eval_loss(params, x_test, prompt_test, target_test))
+            test_hist.append(test_loss)
+            if test_loss < best_loss:
+                best_loss = test_loss
+                best_params = params
+                no_improvement = 0
+            else:
+                no_improvement += 1
+            if no_improvement >= config.patience:
+                params = best_params
+                break
+    else:
+        if test_data is not None:
+            params = best_params
+
+    trained = GainPredictor(module=module, params=params, normalizer=normalizer)
+    return TrainResult(trained, np.asarray(train_hist), np.asarray(test_hist))

@@ -1,0 +1,181 @@
+"""End-to-end iLQR golden tests against the reference solver.
+
+The reference solver is deterministic pure NumPy (no RNG anywhere in its
+solve path), so full-solve trajectories are exact oracles up to the
+FD-vs-autodiff derivative difference (SURVEY.md §4 "Golden-trajectory
+integration tests").
+"""
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quattro_tpu.solver import (
+    ILQRConfig,
+    ilqr_solve,
+    ilqr_solve_with_logs,
+    make_quadratic_cost,
+    make_quadratic_final_cost,
+    simulate,
+    trajectory_cost,
+)
+from quattro_tpu.systems import cartpole_dynamics, make_discrete, quadrotor_dynamics
+
+sys.path.insert(0, "/root/reference")
+
+
+def _cartpole_setup():
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), jnp.zeros(4))
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), jnp.zeros(4))
+    return dyn, cost, fcost
+
+
+def _reference_cartpole(x0, horizon, tol):
+    from quattro_ilqr_tf.quattro_ilqr_tf import iLQR_TF
+
+    q = np.diag([5.0, 0.1, 10.0, 0.1])
+    r = np.diag([0.001])
+    qf = np.diag([50.0, 6.0, 100.0, 0.1])
+    dyn, _, _ = _cartpole_setup()
+
+    def np_dyn(x, u):
+        return np.asarray(dyn(jnp.array(x), jnp.array(u)))
+
+    def np_cost(x, u):
+        return float(x @ q @ x + u @ r @ u)
+
+    def np_fcost(x):
+        return float(x @ qf @ x)
+
+    solver = iLQR_TF(
+        np_dyn, np_cost, np_fcost, x0, [np.zeros(1)] * horizon, horizon,
+        tol=tol, enable_log=True,
+    )
+    u_seq, x_seq = solver.optimize(x_ref=np.zeros(4))
+    return solver, np.asarray(u_seq), np.asarray(x_seq)
+
+
+class TestCartPoleGolden:
+    def test_full_solve_matches_reference(self):
+        """Same (x0, u_init, H, tol): cost and final state match the reference
+        solve within FD-truncation-justified tolerance (config 1 in
+        BASELINE.json)."""
+        x0 = np.array([0.2, 0.0, 0.3, 0.0])
+        ref, u_ref, x_ref_seq = _reference_cartpole(x0, horizon=30, tol=1e-1)
+        ref_cost = ref.compute_total_cost(x_ref_seq, list(u_ref))
+
+        dyn, cost, fcost = _cartpole_setup()
+        sol = ilqr_solve(dyn, cost, fcost, jnp.array(x0), jnp.zeros((30, 1)), ILQRConfig(tol=1e-1))
+
+        assert abs(float(sol.cost) - ref_cost) / ref_cost < 1e-6
+        np.testing.assert_allclose(np.asarray(sol.x_seq[-1]), x_ref_seq[-1], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sol.u_seq), u_ref, atol=1e-3)
+        # Iteration counts agree (reference total_iter is the 0-based index of
+        # the last executed iteration).
+        assert int(sol.iterations) == ref.total_iter + 1
+
+    def test_parallel_riccati_full_solve(self):
+        x0 = np.array([0.2, 0.0, 0.3, 0.0])
+        dyn, cost, fcost = _cartpole_setup()
+        seq = ilqr_solve(dyn, cost, fcost, jnp.array(x0), jnp.zeros((30, 1)), ILQRConfig(tol=1e-1))
+        par = ilqr_solve(
+            dyn, cost, fcost, jnp.array(x0), jnp.zeros((30, 1)),
+            ILQRConfig(tol=1e-1, parallel_riccati=True),
+        )
+        assert abs(float(par.cost) - float(seq.cost)) / float(seq.cost) < 1e-6
+
+    def test_logged_solve_matches_plain_and_reference_logs(self):
+        x0 = np.array([0.15, 0.0, -0.25, 0.0])
+        ref, _, _ = _reference_cartpole(x0, horizon=30, tol=1e-1)
+
+        dyn, cost, fcost = _cartpole_setup()
+        plain = ilqr_solve(dyn, cost, fcost, jnp.array(x0), jnp.zeros((30, 1)), ILQRConfig(tol=1e-1))
+        sol, logs = ilqr_solve_with_logs(
+            dyn, cost, fcost, jnp.array(x0), jnp.zeros((30, 1)), ILQRConfig(tol=1e-1)
+        )
+        assert float(sol.cost) == pytest.approx(float(plain.cost), rel=1e-12)
+        assert int(sol.iterations) == int(plain.iterations)
+        valid = np.asarray(logs.valid)
+        assert valid.sum() == int(sol.iterations)
+        # Per-iteration costs match the reference's logged current_cost.
+        ref_costs = [entry["current_cost"] for entry in ref.logs]
+        our_costs = np.asarray(logs.cost)[valid]
+        np.testing.assert_allclose(our_costs, ref_costs, rtol=1e-5)
+        # Accepted step sizes match.
+        ref_alphas = [entry["alpha"] or 0.0 for entry in ref.logs]
+        np.testing.assert_allclose(np.asarray(logs.alpha)[valid], ref_alphas)
+
+
+class TestQuadrotorGolden:
+    def test_hover_recovery_solve(self):
+        """Quadrotor with softplus barrier converges and respects u >= 0
+        (config 2 in BASELINE.json; barrier semantics quadrotor_mpc.py:74-93)."""
+        x_ref = jnp.zeros(12).at[2].set(0.5)
+        dyn = make_discrete(quadrotor_dynamics, 0.01, "rk4")
+        q = jnp.array([10.0, 10.0, 50.0, 1, 1, 1, 10.0, 10.0, 50.0, 1, 1, 1])
+        qf = jnp.array([100.0, 100.0, 500.0, 10, 10, 10, 100.0, 100.0, 500.0, 10, 10, 10])
+        cost = make_quadratic_cost(q, jnp.full((4,), 0.01), x_ref, barrier_alpha=1000.0)
+        fcost = make_quadratic_final_cost(qf, x_ref)
+
+        x0 = jnp.zeros(12).at[2].set(0.2).at[6].set(0.1)
+        sol = ilqr_solve(dyn, cost, fcost, x0, jnp.zeros((50, 4)), ILQRConfig(tol=1e-3))
+        assert bool(sol.converged)
+        # Barrier keeps thrusts essentially nonnegative.
+        assert float(jnp.min(sol.u_seq)) > -1e-2
+        # Altitude moves toward the 0.5 m reference.
+        assert abs(float(sol.x_seq[-1, 2]) - 0.5) < 0.05
+
+    def test_matches_reference_quadrotor_solve(self):
+        from quattro_ilqr_tf.quattro_ilqr_tf import iLQR_TF
+
+        x_ref = np.zeros(12)
+        x_ref[2] = 0.5
+        q = np.diag([10.0, 10.0, 50.0, 1, 1, 1, 10.0, 10.0, 50.0, 1, 1, 1])
+        r = np.diag([0.01] * 4)
+        qf = np.diag([100.0, 100.0, 500.0, 10, 10, 10, 100.0, 100.0, 500.0, 10, 10, 10])
+
+        dyn = make_discrete(quadrotor_dynamics, 0.01, "rk4")
+
+        def np_dyn(x, u):
+            return np.asarray(dyn(jnp.array(x), jnp.array(u)))
+
+        def softplus(z, beta=10.0):
+            return np.log1p(np.exp(beta * z)) / beta
+
+        def np_cost(x, u):
+            dx = x - x_ref
+            return float(dx @ q @ dx + u @ r @ u + 1000.0 * np.sum(softplus(-u) ** 2))
+
+        def np_fcost(x):
+            dx = x - x_ref
+            return float(dx @ qf @ dx)
+
+        horizon = 20
+        x0 = np.zeros(12)
+        x0[2] = 0.3
+        ref = iLQR_TF(
+            np_dyn, np_cost, np_fcost, x0, [np.zeros(4)] * horizon, horizon,
+            tol=1e-3, enable_log=False,
+        )
+        u_ref, x_ref_seq = ref.optimize(x_ref=x_ref)
+        ref_cost = ref.compute_total_cost(x_ref_seq, list(u_ref))
+
+        cost = make_quadratic_cost(jnp.array(np.diag(q)), jnp.array(np.diag(r)), jnp.array(x_ref), barrier_alpha=1000.0)
+        fcost = make_quadratic_final_cost(jnp.array(np.diag(qf)), jnp.array(x_ref))
+        sol = ilqr_solve(dyn, cost, fcost, jnp.array(x0), jnp.zeros((horizon, 4)), ILQRConfig(tol=1e-3))
+        assert abs(float(sol.cost) - ref_cost) / ref_cost < 1e-4
+        np.testing.assert_allclose(np.asarray(sol.x_seq[-1]), x_ref_seq[-1], atol=1e-4)
+
+
+def test_simulate_and_cost_consistency():
+    dyn, cost, fcost = _cartpole_setup()
+    x0 = jnp.array([0.1, 0.0, 0.1, 0.0])
+    u = 0.1 * jnp.ones((10, 1))
+    x_seq = simulate(dyn, x0, u)
+    assert x_seq.shape == (11, 4)
+    total = trajectory_cost(cost, fcost, x_seq, u)
+    manual = sum(float(cost(x_seq[t], u[t])) for t in range(10)) + float(fcost(x_seq[-1]))
+    assert float(total) == pytest.approx(manual, rel=1e-12)

@@ -1,0 +1,115 @@
+"""Distributed tests on the 8-device CPU-emulated mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quattro_tpu.parallel import (
+    batched_ilqr_solve,
+    make_mesh,
+    sharded_ilqr_solve,
+    sharded_riccati_backward,
+)
+from quattro_tpu.solver import (
+    ILQRConfig,
+    ilqr_solve,
+    make_quadratic_cost,
+    make_quadratic_final_cost,
+    riccati_backward,
+)
+from quattro_tpu.solver.derivatives import CostExpansion
+from quattro_tpu.systems import cartpole_dynamics, make_discrete
+
+
+def _cartpole():
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), jnp.zeros(4))
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), jnp.zeros(4))
+    return dyn, cost, fcost
+
+
+def random_lq(key, n, m, horizon):
+    ks = jax.random.split(key, 8)
+    a = jnp.eye(n) + 0.01 * jax.random.normal(ks[0], (horizon, n, n))
+    b = 0.05 * jax.random.normal(ks[1], (horizon, n, m))
+    l_x = jax.random.normal(ks[2], (horizon, n))
+    l_u = jax.random.normal(ks[3], (horizon, m))
+    w = jax.random.normal(ks[4], (horizon, n, n))
+    l_xx = 0.1 * jnp.einsum("hij,hkj->hik", w, w) + 0.1 * jnp.eye(n)
+    wu = jax.random.normal(ks[5], (horizon, m, m))
+    l_uu = 0.1 * jnp.einsum("hij,hkj->hik", wu, wu) + jnp.eye(m)
+    l_ux = 0.1 * jax.random.normal(ks[6], (horizon, m, n))
+    v_x = jax.random.normal(ks[7], (n,))
+    wf = jax.random.normal(key, (n, n))
+    v_xx = wf @ wf.T + jnp.eye(n)
+    return a, b, CostExpansion(l_x, l_u, l_xx, l_uu, l_ux), v_x, v_xx
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh((8, 1))
+    assert mesh.shape == {"traj": 8, "horizon": 1}
+    mesh2 = make_mesh((2, 4))
+    assert mesh2.shape == {"traj": 2, "horizon": 4}
+    with pytest.raises(ValueError):
+        make_mesh((3, 2))
+
+
+def test_batched_solve_matches_single():
+    dyn, cost, fcost = _cartpole()
+    x0s = jnp.array([[0.2, 0.0, 0.3, 0.0], [-0.1, 0.0, -0.2, 0.0]])
+    u0s = jnp.zeros((2, 30, 1))
+    batch = batched_ilqr_solve(dyn, cost, fcost, x0s, u0s, ILQRConfig(tol=1e-1))
+    for i in range(2):
+        single = ilqr_solve(dyn, cost, fcost, x0s[i], u0s[i], ILQRConfig(tol=1e-1))
+        np.testing.assert_allclose(float(batch.cost[i]), float(single.cost), rtol=1e-10)
+
+
+def test_sharded_traj_solve_matches_batched():
+    """Data-parallel trajectory sharding over 8 devices == unsharded vmap."""
+    dyn, cost, fcost = _cartpole()
+    mesh = make_mesh((8, 1))
+    key = jax.random.PRNGKey(0)
+    x0s = 0.3 * jax.random.normal(key, (16, 4))
+    u0s = jnp.zeros((16, 30, 1))
+    cfg = ILQRConfig(tol=1e-1, max_iter=20)
+    plain = batched_ilqr_solve(dyn, cost, fcost, x0s, u0s, cfg)
+    sharded = sharded_ilqr_solve(dyn, cost, fcost, x0s, u0s, mesh, cfg)
+    np.testing.assert_allclose(np.asarray(sharded.cost), np.asarray(plain.cost), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(sharded.u_seq), np.asarray(plain.u_seq), atol=1e-8)
+
+
+@pytest.mark.parametrize("shards,horizon", [(2, 64), (4, 64), (8, 256)])
+def test_horizon_partitioned_riccati_matches_sequential(shards, horizon):
+    """Halo-exchange horizon partitioning == sequential backward pass."""
+    mesh = make_mesh((8 // shards, shards))
+    n, m = 12, 4
+    a, b, exp, v_x, v_xx = random_lq(jax.random.PRNGKey(7), n, m, horizon)
+    seq = riccati_backward(a, b, exp, v_x, v_xx)
+    par = sharded_riccati_backward(mesh, a, b, exp, v_x, v_xx)
+    np.testing.assert_allclose(np.asarray(par.v_x_seq), np.asarray(seq.v_x_seq), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(par.k_seq), np.asarray(seq.k_seq), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(par.big_k_seq), np.asarray(seq.big_k_seq), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_horizon_partitioned_riccati_cartpole():
+    """Same check on a real (non-random) problem: the cart-pole LQ subproblem."""
+    from quattro_tpu.solver import linearize_dynamics, quadratize_cost, quadratize_final_cost
+
+    dyn, cost, fcost = _cartpole()
+    x0 = jnp.array([0.2, 0.0, 0.3, 0.0])
+    sol = ilqr_solve(dyn, cost, fcost, x0, jnp.zeros((32, 1)), ILQRConfig(tol=1e-1))
+    a, b = linearize_dynamics(dyn, sol.x_seq, sol.u_seq)
+    exp = quadratize_cost(cost, sol.x_seq, sol.u_seq)
+    fexp = quadratize_final_cost(fcost, sol.x_seq[-1])
+
+    mesh = make_mesh((1, 8))
+    seq = riccati_backward(a, b, exp, fexp.v_x, fexp.v_xx)
+    par = sharded_riccati_backward(mesh, a, b, exp, fexp.v_x, fexp.v_xx)
+    np.testing.assert_allclose(np.asarray(par.k_seq), np.asarray(seq.k_seq), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(par.big_k_seq), np.asarray(seq.big_k_seq), rtol=1e-4, atol=1e-4
+    )
