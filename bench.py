@@ -1,0 +1,90 @@
+"""Headline benchmark: quadrotor iLQR iterations/sec (H=100) vs the reference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "iter/s", "vs_baseline": N}
+
+The baseline (bench_baseline.json) was measured by running the reference
+solver (pure NumPy, finite-difference derivatives — its only implementation)
+on THIS machine with the identical problem: quadrotor hover MPC task, H=100,
+rk4 dt=0.01, softplus control barrier, 6 iLQR iterations. Reference:
+0.458 iterations/sec, 2.18 s/iteration (99% in the FD backward pass,
+quattro_ilqr_tf.py:281-319 telemetry).
+
+Ours runs the same 6 iterations as one jitted XLA computation on the TPU:
+batched jacfwd linearization, scan Riccati, batched 6-alpha line search.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build_problem():
+    from quattro_tpu.solver import (
+        ILQRConfig,
+        ilqr_solve,
+        make_quadratic_cost,
+        make_quadratic_final_cost,
+    )
+    from quattro_tpu.systems import make_discrete, quadrotor_dynamics
+
+    horizon = 100
+    x_ref = jnp.zeros(12).at[2].set(0.5)
+    q = jnp.array([10.0, 10.0, 50.0, 1, 1, 1, 10.0, 10.0, 50.0, 1, 1, 1])
+    qf = jnp.array([100.0, 100.0, 500.0, 10, 10, 10, 100.0, 100.0, 500.0, 10, 10, 10])
+    dyn = make_discrete(quadrotor_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(q, jnp.full((4,), 0.01), x_ref, barrier_alpha=1000.0)
+    fcost = make_quadratic_final_cost(qf, x_ref)
+
+    # Same forced-iteration count as the baseline measurement (tol=0 disables
+    # the |dJ| early exit; 6 iterations as measured for the reference).
+    config = ILQRConfig(tol=0.0, max_iter=6)
+    x0 = jnp.zeros(12).at[2].set(0.2).at[6].set(0.1)
+    u0 = jnp.zeros((horizon, 4))
+
+    def solve(x_init, u_init):
+        return ilqr_solve(dyn, cost, fcost, x_init, u_init, config)
+
+    return jax.jit(solve), x0, u0, config.max_iter
+
+
+def main():
+    solve, x0, u0, num_iters = build_problem()
+
+    # Warm-up / compile.
+    sol = solve(x0, u0)
+    jax.block_until_ready(sol.cost)
+    assert int(sol.iterations) == num_iters
+
+    repeats = 20
+    start = time.perf_counter()
+    for _ in range(repeats):
+        sol = solve(x0, u0)
+    jax.block_until_ready(sol.cost)
+    elapsed = time.perf_counter() - start
+
+    seconds_per_iteration = elapsed / (repeats * num_iters)
+    iters_per_sec = 1.0 / seconds_per_iteration
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    with open(baseline_path) as f:
+        baseline = json.load(f)
+    ref_iters_per_sec = baseline["ref_iterations_per_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "quadrotor_ilqr_iterations_per_sec_H100",
+                "value": round(iters_per_sec, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(iters_per_sec / ref_iters_per_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
