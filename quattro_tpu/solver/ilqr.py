@@ -51,6 +51,13 @@ class ILQRConfig(NamedTuple):
     Defaults mirror the reference constructor (quattro_ilqr_tf.py:74-76).
     ``parallel_riccati`` selects the associative-scan backward pass
     (O(log H) depth) over the sequential scan.
+
+    ``adaptive_reg`` enables a Levenberg-Marquardt mu-schedule on the Q_uu
+    regularizer — a robustness upgrade over the reference's fixed 1e-6 +
+    stop-on-first-failure (SURVEY.md §5.3): when no step size is accepted the
+    solver retries with mu * reg_factor instead of terminating, and shrinks
+    mu after accepted steps; it gives up only at reg_max. Default OFF
+    (reference semantics).
     """
 
     max_iter: int = 100
@@ -58,6 +65,9 @@ class ILQRConfig(NamedTuple):
     reg: float = 1e-6
     alphas: Tuple[float, ...] = DEFAULT_ALPHAS
     parallel_riccati: bool = False
+    adaptive_reg: bool = False
+    reg_factor: float = 10.0
+    reg_max: float = 1e2
 
 
 class ILQRSolution(NamedTuple):
@@ -102,13 +112,20 @@ def _ilqr_iteration(
     x_seq: jnp.ndarray,
     u_seq: jnp.ndarray,
     current_cost: jnp.ndarray,
+    reg=None,
 ):
-    """One full iLQR iteration: linearize -> Riccati -> line search."""
+    """One full iLQR iteration: linearize -> Riccati -> line search.
+
+    ``reg`` may be a traced scalar (adaptive LM mode); defaults to the static
+    config value.
+    """
+    if reg is None:
+        reg = config.reg
     a_seq, b_seq = linearize_dynamics(dynamics, x_seq, u_seq)
     cost_exp = quadratize_cost(cost, x_seq, u_seq)
     final_exp = quadratize_final_cost(final_cost, x_seq[-1])
 
-    res = _backward(config)(a_seq, b_seq, cost_exp, final_exp.v_x, final_exp.v_xx, config.reg)
+    res = _backward(config)(a_seq, b_seq, cost_exp, final_exp.v_x, final_exp.v_xx, reg)
 
     alphas = jnp.asarray(config.alphas, dtype=x_seq.dtype)
     found, alpha, new_x, new_u, new_cost = line_search(
@@ -137,23 +154,39 @@ def ilqr_solve(
     n = x0.shape[0]
 
     def cond(state):
-        _, _, _, _, _, iteration, done = state
+        iteration, done = state[5], state[6]
         return jnp.logical_and(iteration < config.max_iter, jnp.logical_not(done))
 
     def body(state):
-        x_seq, u_seq, current_cost, _, _, iteration, _ = state
+        x_seq, u_seq, current_cost, _, _, iteration, _, reg = state
         found, _, new_x, new_u, new_cost, k_seq, big_k_seq = _ilqr_iteration(
-            dynamics, cost, final_cost, config, x0, x_seq, u_seq, current_cost
+            dynamics, cost, final_cost, config, x0, x_seq, u_seq, current_cost, reg=reg
         )
-        done = jnp.logical_or(
-            jnp.logical_not(found), jnp.abs(current_cost - new_cost) < config.tol
-        )
-        return (new_x, new_u, new_cost, k_seq, big_k_seq, iteration + 1, done)
+        small_improvement = jnp.abs(current_cost - new_cost) < config.tol
+        if config.adaptive_reg:
+            # LM mu-schedule: shrink on success, grow and RETRY on failure;
+            # terminate only when converged or mu saturates.
+            reg_next = jnp.where(
+                found,
+                jnp.maximum(reg / config.reg_factor, config.reg),
+                jnp.minimum(reg * config.reg_factor, config.reg_max),
+            )
+            done = jnp.logical_or(
+                jnp.logical_and(found, small_improvement),
+                jnp.logical_and(jnp.logical_not(found), reg >= config.reg_max),
+            )
+        else:
+            reg_next = reg
+            done = jnp.logical_or(jnp.logical_not(found), small_improvement)
+        return (new_x, new_u, new_cost, k_seq, big_k_seq, iteration + 1, done, reg_next)
 
     zeros_k = jnp.zeros((horizon, m), dtype=u_init.dtype)
     zeros_big_k = jnp.zeros((horizon, m, n), dtype=u_init.dtype)
-    init = (x_init, u_init, cost_init, zeros_k, zeros_big_k, jnp.asarray(0), jnp.asarray(False))
-    x_seq, u_seq, final_cost_val, k_seq, big_k_seq, iterations, done = jax.lax.while_loop(
+    init = (
+        x_init, u_init, cost_init, zeros_k, zeros_big_k,
+        jnp.asarray(0), jnp.asarray(False), jnp.asarray(config.reg, dtype=x_init.dtype),
+    )
+    x_seq, u_seq, final_cost_val, k_seq, big_k_seq, iterations, done, _ = jax.lax.while_loop(
         cond, body, init
     )
     return ILQRSolution(x_seq, u_seq, final_cost_val, iterations, done, k_seq, big_k_seq)

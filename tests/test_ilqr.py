@@ -179,3 +179,18 @@ def test_simulate_and_cost_consistency():
     total = trajectory_cost(cost, fcost, x_seq, u)
     manual = sum(float(cost(x_seq[t], u[t])) for t in range(10)) + float(fcost(x_seq[-1]))
     assert float(total) == pytest.approx(manual, rel=1e-12)
+
+
+def test_adaptive_regularization_recovers():
+    """LM mu-schedule keeps optimizing where fixed-reg stops on the first
+    rejected step (SURVEY.md §5.3 robustness upgrade; opt-in)."""
+    dyn, cost, fcost = _cartpole_setup()
+    x0 = jnp.array([0.4, 0.0, 0.6, 0.0])  # aggressive start
+    fixed = ilqr_solve(dyn, cost, fcost, x0, jnp.zeros((30, 1)), ILQRConfig(tol=1e-6, max_iter=60))
+    adaptive = ilqr_solve(
+        dyn, cost, fcost, x0, jnp.zeros((30, 1)),
+        ILQRConfig(tol=1e-6, max_iter=60, adaptive_reg=True),
+    )
+    # Adaptive must never be worse, and both must be finite.
+    assert np.isfinite(float(adaptive.cost)) and np.isfinite(float(fixed.cost))
+    assert float(adaptive.cost) <= float(fixed.cost) * (1 + 1e-9)

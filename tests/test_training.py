@@ -1,0 +1,138 @@
+"""End-to-end training pipeline: on-device collection -> optax fit -> hybrid solve.
+
+Small-scale mirror of the reference pipeline (SURVEY.md §3.4-3.5): pure-iLQR
+MPC sweeps generate per-iteration gain rows; the transformer fits the
+(prompt tail -> head) mapping; the trained predictor drops into the hybrid
+solver.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quattro_tpu.models import GainPredictor
+from quattro_tpu.solver import (
+    ILQRConfig,
+    hybrid_ilqr_solve,
+    make_quadratic_cost,
+    make_quadratic_final_cost,
+)
+from quattro_tpu.systems import cartpole_dynamics, make_discrete
+from quattro_tpu.training import (
+    GainDataset,
+    TrainConfig,
+    collect_gain_dataset,
+    lhs_initial_states,
+    train_gain_predictor,
+)
+
+HORIZON = 12
+PROMPT = 3
+
+
+@pytest.fixture(scope="module")
+def problem():
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), jnp.zeros(4))
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), jnp.zeros(4))
+    return dyn, cost, fcost
+
+
+@pytest.fixture(scope="module")
+def dataset(problem):
+    dyn, cost, fcost = problem
+    key = jax.random.PRNGKey(0)
+    x0s = jnp.concatenate(
+        [
+            0.3 * jax.random.normal(key, (6, 1)),  # positions
+            jnp.zeros((6, 1)),
+            0.3 * jax.random.normal(jax.random.PRNGKey(1), (6, 1)),  # angles
+            jnp.zeros((6, 1)),
+        ],
+        axis=1,
+    )
+    return collect_gain_dataset(
+        dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=10,
+        config=ILQRConfig(tol=1e-1, max_iter=8),
+    )
+
+
+def test_lhs_initial_states_covers_bounds():
+    lower = jnp.array([-1.0, 0.0])
+    upper = jnp.array([1.0, 2.0])
+    samples = lhs_initial_states(jax.random.PRNGKey(0), lower, upper, 64)
+    assert samples.shape == (64, 2)
+    s = np.asarray(samples)
+    assert (s >= np.asarray(lower)).all() and (s < np.asarray(upper)).all()
+    # Latin hypercube: each of the 64 per-dimension bins hit exactly once.
+    for d in range(2):
+        bins = np.floor((s[:, d] - float(lower[d])) / float(upper[d] - lower[d]) * 64)
+        assert len(np.unique(bins)) == 64
+
+
+def test_collection_shapes_and_content(dataset):
+    n_rows = dataset.x_data.shape[0]
+    assert n_rows > 10  # several iterations per control step per initial state
+    assert dataset.x_data.shape[1:] == (HORIZON + 1, 4)
+    assert dataset.kk_data.shape[1:] == (HORIZON, 1 * (1 + 4))
+    assert np.isfinite(dataset.x_data).all() and np.isfinite(dataset.kk_data).all()
+
+
+def test_train_and_hybrid_solve(problem, dataset):
+    dyn, cost, fcost = problem
+    n_rows = dataset.x_data.shape[0]
+    split = int(n_rows * 0.8)
+    train = GainDataset(dataset.x_data[:split], dataset.kk_data[:split])
+    test = GainDataset(dataset.x_data[split:], dataset.kk_data[split:])
+
+    predictor = GainPredictor.create(
+        state_dim=4, control_dim=5, prompt_len=PROMPT, target_len=HORIZON - PROMPT,
+        d_model=32, nhead=4, num_decoder_layers=1, dim_feedforward=64,
+        max_seq_len=64, seq_len_states=HORIZON + 1,
+    )
+    result = train_gain_predictor(
+        predictor, train, test, TrainConfig(num_epochs=12, batch_size=16, learning_rate=1e-3)
+    )
+    assert result.train_loss_history[-1] < result.train_loss_history[0] * 0.8, (
+        "training loss did not decrease",
+        result.train_loss_history,
+    )
+
+    # The trained predictor drives a hybrid solve without blowing up.
+    sol = hybrid_ilqr_solve(
+        dyn, cost, fcost, result.predictor.predict_fn(), PROMPT,
+        jnp.array([0.1, 0.0, 0.15, 0.0]), jnp.zeros((HORIZON, 1)), jnp.zeros(4),
+        ILQRConfig(tol=1e-1, max_iter=15),
+    )
+    assert np.isfinite(float(sol.cost))
+    # Hybrid solve should still reduce cost vs the zero-control rollout.
+    from quattro_tpu.solver import simulate, trajectory_cost
+
+    x_open = simulate(dyn, jnp.array([0.1, 0.0, 0.15, 0.0]), jnp.zeros((HORIZON, 1)))
+    open_cost = trajectory_cost(cost, fcost, x_open, jnp.zeros((HORIZON, 1)))
+    assert float(sol.cost) < float(open_cost)
+
+
+def test_predictor_checkpoint_roundtrip_after_training(problem, dataset, tmp_path):
+    predictor = GainPredictor.create(
+        state_dim=4, control_dim=5, prompt_len=PROMPT, target_len=HORIZON - PROMPT,
+        d_model=16, nhead=2, num_decoder_layers=1, dim_feedforward=32,
+        max_seq_len=64, seq_len_states=HORIZON + 1,
+    )
+    result = train_gain_predictor(
+        predictor,
+        GainDataset(dataset.x_data, dataset.kk_data),
+        None,
+        TrainConfig(num_epochs=2, batch_size=16),
+    )
+    path = str(tmp_path / "trained.npz")
+    result.predictor.save(path)
+    loaded = GainPredictor.load(path)
+    x = jnp.asarray(dataset.x_data[0])
+    kk = jnp.asarray(dataset.kk_data[0])
+    np.testing.assert_allclose(
+        np.asarray(result.predictor.predict_fn()(x, kk)),
+        np.asarray(loaded.predict_fn()(x, kk)),
+        rtol=1e-6,
+    )
