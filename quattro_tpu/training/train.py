@@ -26,13 +26,21 @@ from quattro_tpu.training.collect import GainDataset
 
 class TrainConfig(NamedTuple):
     """Defaults mirror transformer_ilqr.py:102 and the trainer CLIs
-    (examples/*/training/transformer_training.py:84-96)."""
+    (examples/*/training/transformer_training.py:84-96).
+
+    ``checkpoint_dir`` enables mid-training checkpoint/resume via orbax —
+    a capability the reference lacks (SURVEY.md §5.4: it only has
+    early-stopping state in memory). Training resumes from the latest saved
+    epoch if the directory already holds one.
+    """
 
     num_epochs: int = 50
     batch_size: int = 16
     learning_rate: float = 1e-3
     patience: int = 5
     seed: int = 0
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 10
 
 
 class TrainResult(NamedTuple):
@@ -95,8 +103,22 @@ def train_gain_predictor(
     best_params = params
     no_improvement = 0
     train_hist, test_hist = [], []
+    start_epoch = 0
 
-    for epoch in range(config.num_epochs):
+    manager = None
+    if config.checkpoint_dir is not None:
+        manager = _checkpoint_manager(config.checkpoint_dir)
+        latest = manager.latest_step()
+        if latest is not None:
+            restored = manager.restore(
+                latest,
+                args=_ocp_args().StandardRestore({"params": params, "opt_state": opt_state}),
+            )
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            start_epoch = latest
+
+    for epoch in range(start_epoch, config.num_epochs):
         rng, perm_key = jax.random.split(rng)
         perm = jax.random.permutation(perm_key, num_rows)
         epoch_loss = 0.0
@@ -108,6 +130,12 @@ def train_gain_predictor(
             )
             epoch_loss += float(loss) * idx.shape[0]
         train_hist.append(epoch_loss / (steps_per_epoch * config.batch_size))
+
+        if manager is not None and (epoch + 1) % config.checkpoint_every == 0:
+            manager.save(
+                epoch + 1,
+                args=_ocp_args().StandardSave({"params": params, "opt_state": opt_state}),
+            )
 
         if test_data is not None:
             test_loss = float(eval_loss(params, x_test, prompt_test, target_test))
@@ -125,5 +153,26 @@ def train_gain_predictor(
         if test_data is not None:
             params = best_params
 
+    if manager is not None:
+        manager.wait_until_finished()
+
     trained = GainPredictor(module=module, params=params, normalizer=normalizer)
     return TrainResult(trained, np.asarray(train_hist), np.asarray(test_hist))
+
+
+def _ocp_args():
+    import orbax.checkpoint as ocp
+
+    return ocp.args
+
+
+def _checkpoint_manager(directory: str):
+    """Orbax manager for mid-training resume (keeps the 3 latest epochs)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=3),
+    )

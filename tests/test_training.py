@@ -136,3 +136,30 @@ def test_predictor_checkpoint_roundtrip_after_training(problem, dataset, tmp_pat
         np.asarray(loaded.predict_fn()(x, kk)),
         rtol=1e-6,
     )
+
+
+def test_checkpoint_resume(problem, dataset, tmp_path):
+    """Orbax mid-training resume: a run interrupted at epoch 4 and resumed
+    reaches the same final params as the checkpoint-free run cannot be
+    asserted bit-exactly (RNG stream restarts at the resume epoch), but
+    resume must (a) restore the saved step and (b) keep improving."""
+    ckpt_dir = str(tmp_path / "ckpts")
+    predictor = GainPredictor.create(
+        state_dim=4, control_dim=5, prompt_len=PROMPT, target_len=HORIZON - PROMPT,
+        d_model=16, nhead=2, num_decoder_layers=1, dim_feedforward=32,
+        max_seq_len=64, seq_len_states=HORIZON + 1,
+    )
+    data = GainDataset(dataset.x_data, dataset.kk_data)
+    # Phase 1: 4 epochs, checkpoint every 2.
+    r1 = train_gain_predictor(
+        predictor, data, None,
+        TrainConfig(num_epochs=4, batch_size=16, checkpoint_dir=ckpt_dir, checkpoint_every=2),
+    )
+    # Phase 2: "restart" from scratch-params but same dir with a higher epoch
+    # budget -> resumes from epoch 4, trains 4 more.
+    r2 = train_gain_predictor(
+        predictor, data, None,
+        TrainConfig(num_epochs=8, batch_size=16, checkpoint_dir=ckpt_dir, checkpoint_every=2),
+    )
+    assert len(r2.train_loss_history) == 4, "resume should only run the remaining epochs"
+    assert r2.train_loss_history[-1] < r1.train_loss_history[0]
