@@ -124,19 +124,33 @@ class GainPredictor:
     def target_len(self) -> int:
         return self.module.target_len
 
-    def predict_fn(self) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    def predict_fn(
+        self, compute_dtype: Optional[jnp.dtype] = None
+    ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
         """Pure closure ``(x_err_seq (T, n), kK_seq (>=P, c)) -> (target_len, c)``.
 
         Jit-safe: params and normalizer are captured as constants/pytree leaves.
         Matches transformer_ilqr.py:311-325 (prompt = last prompt_len rows).
+
+        ``compute_dtype=jnp.bfloat16`` runs the transformer body in bf16 —
+        the MXU-native analog of the reference's fp16 half-cast
+        (transformer_ilqr.py:223-226) — with inputs/outputs still float32
+        (normalization and de-normalization stay full precision).
         """
-        module, params, norm = self.module, self.params, self.normalizer
+        module, norm = self.module, self.normalizer
+        if compute_dtype is not None:
+            params = jax.tree.map(lambda p: p.astype(compute_dtype), self.params)
+        else:
+            params = self.params
 
         def predict(x_err_seq: jnp.ndarray, kk_seq: jnp.ndarray) -> jnp.ndarray:
             x_norm = norm.transform_x(x_err_seq)[None]  # (1, T, n)
             prompt = norm.transform_u(kk_seq)[-module.prompt_len :][None]  # (1, P, c)
+            if compute_dtype is not None:
+                x_norm = x_norm.astype(compute_dtype)
+                prompt = prompt.astype(compute_dtype)
             pred = module.apply({"params": params}, x_norm, prompt, deterministic=True)
-            return norm.inverse_transform_u(pred[0])
+            return norm.inverse_transform_u(pred[0].astype(jnp.float32))
 
         return predict
 

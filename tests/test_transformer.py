@@ -166,3 +166,20 @@ def test_normalizer_roundtrip():
     )
     xn = norm.transform_x(x)
     np.testing.assert_allclose(np.asarray(xn.mean(axis=(0, 1))), np.zeros(4), atol=1e-10)
+
+
+def test_bf16_predict_close_to_f32():
+    """bf16 compute path (MXU-native analog of the reference's fp16 cast)
+    stays within bf16 tolerance of the f32 forward."""
+    pred = GainPredictor.create(
+        state_dim=4, control_dim=5, prompt_len=5, target_len=25,
+        d_model=64, nhead=4, num_decoder_layers=2, dim_feedforward=128,
+        max_seq_len=100, seq_len_states=31,
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(31, 4)) * 0.3, jnp.float32)
+    kk = jnp.asarray(np.random.default_rng(1).normal(size=(5, 5)), jnp.float32)
+    f32 = np.asarray(pred.predict_fn()(x, kk))
+    bf16 = np.asarray(pred.predict_fn(compute_dtype=jnp.bfloat16)(x, kk))
+    assert bf16.dtype == np.float32  # outputs stay f32
+    scale = np.maximum(np.abs(f32), 1.0)
+    assert np.max(np.abs(bf16 - f32) / scale) < 0.05

@@ -66,3 +66,42 @@ def test_solver_log_summary():
 
 def test_block_nnz_per_sec():
     assert block_nnz_per_sec(10, 1.0) == 28.0
+
+
+def test_nan_guard():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from quattro_tpu.utils.debug import nan_guard
+
+    with pytest.raises(FloatingPointError):
+        with nan_guard():
+            jnp.log(jnp.array(-1.0)).block_until_ready()
+    # Guard restored afterwards: NaN passes silently again.
+    assert bool(jnp.isnan(jnp.log(jnp.array(-1.0))))
+
+
+def test_verify_halo_exchange():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    from quattro_tpu.parallel import make_mesh
+    from quattro_tpu.utils.debug import verify_halo_exchange
+
+    mesh = make_mesh((1, 8))
+    num = 8
+    perm = [(i, (i - 1) % num) for i in range(num)]
+
+    def body(x):
+        received = jax.lax.ppermute(x, "horizon", perm)
+        diff = verify_halo_exchange(x, received, "horizon", perm)
+        return diff[None]
+
+    x = jnp.arange(8.0 * 4).reshape(8, 4)
+    diffs = shard_map(
+        body, mesh=mesh, in_specs=PartitionSpec("horizon"), out_specs=PartitionSpec("horizon")
+    )(x)
+    assert float(jnp.max(diffs)) == 0.0
