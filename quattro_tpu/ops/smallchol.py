@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -95,3 +96,87 @@ def batched_spd_solve(a: jnp.ndarray, b: jnp.ndarray, small_dim_max: int = 8) ->
         x, _ = batched_cholesky_solve(a, b)
         return x
     return jnp.linalg.solve(a, b)
+
+
+def batched_cholesky_solve_pallas(
+    a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Pallas TPU kernel: fused Cholesky factorize-and-solve for a large batch
+    of tiny SPD systems — the north star's "batched Q_uu Cholesky-and-solve".
+
+    Layout trick: the (B, m, m) batch is transposed to structure-of-arrays
+    (m*m, B) so the BATCH axis is the TPU lane dimension; every step of the
+    unrolled factorization/substitution is then one (1, B) vector op on the
+    VPU, and the whole solve runs out of VMEM with a single HBM round trip.
+
+    Args:
+        a: (B, m, m) SPD matrices, m small (<= ~8).
+        b: (B, m, r) right-hand sides.
+        interpret: run in interpreter mode (CPU tests).
+
+    Returns:
+        x: (B, m, r) with A x = b.
+    """
+    batch, m, _ = a.shape
+    r = b.shape[-1]
+
+    a_soa = a.reshape(batch, m * m).T  # (m*m, B)
+    b_soa = b.reshape(batch, m * r).T  # (m*r, B)
+
+    def kernel(a_ref, b_ref, x_ref):
+        av = a_ref[...]  # (m*m, B)
+        bv = b_ref[...]  # (m*r, B)
+
+        def a_at(i, j):
+            return av[i * m + j, :]
+
+        def b_at(i, k):
+            return bv[i * r + k, :]
+
+        # Cholesky-Crout, unrolled; cols[i][j] are (B,) lanes.
+        cols = [[None] * m for _ in range(m)]
+        for j in range(m):
+            diag = a_at(j, j)
+            for k in range(j):
+                diag = diag - cols[j][k] * cols[j][k]
+            ljj = jnp.sqrt(diag)
+            inv_ljj = 1.0 / ljj
+            cols[j][j] = ljj
+            for i in range(j + 1, m):
+                off = a_at(i, j)
+                for k in range(j):
+                    off = off - cols[i][k] * cols[j][k]
+                cols[i][j] = off * inv_ljj
+
+        for k in range(r):
+            # Forward: L y = b
+            ys = []
+            for i in range(m):
+                acc = b_at(i, k)
+                for t in range(i):
+                    acc = acc - cols[i][t] * ys[t]
+                ys.append(acc / cols[i][i])
+            # Backward: L^T x = y
+            xs = [None] * m
+            for i in reversed(range(m)):
+                acc = ys[i]
+                for t in range(i + 1, m):
+                    acc = acc - cols[t][i] * xs[t]
+                xs[i] = acc / cols[i][i]
+            for i in range(m):
+                x_ref[i * r + k, :] = xs[i]
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x_soa = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m * r, batch), a.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        interpret=interpret,
+    )(a_soa, b_soa)
+    return x_soa.T.reshape(batch, m, r)

@@ -68,6 +68,7 @@ class ILQRConfig(NamedTuple):
     adaptive_reg: bool = False
     reg_factor: float = 10.0
     reg_max: float = 1e2
+    chol_solve: bool = True  # unrolled small-matrix Cholesky for Q_uu solves
 
 
 class ILQRSolution(NamedTuple):
@@ -125,7 +126,9 @@ def _ilqr_iteration(
     cost_exp = quadratize_cost(cost, x_seq, u_seq)
     final_exp = quadratize_final_cost(final_cost, x_seq[-1])
 
-    res = _backward(config)(a_seq, b_seq, cost_exp, final_exp.v_x, final_exp.v_xx, reg)
+    res = _backward(config)(
+        a_seq, b_seq, cost_exp, final_exp.v_x, final_exp.v_xx, reg, config.chol_solve
+    )
 
     alphas = jnp.asarray(config.alphas, dtype=x_seq.dtype)
     found, alpha, new_x, new_u, new_cost = line_search(
@@ -311,7 +314,8 @@ def hybrid_ilqr_solve(
         tail_exp = quadratize_cost(cost, tail_x, tail_u)
         final_exp = quadratize_final_cost(final_cost, x_seq[-1])
         res = riccati_backward(
-            a_tail, b_tail, tail_exp, final_exp.v_x, final_exp.v_xx, config.reg
+            a_tail, b_tail, tail_exp, final_exp.v_x, final_exp.v_xx, config.reg,
+            config.chol_solve,
         )
 
         prompt = pack_gain_tokens(res.k_seq, res.big_k_seq)  # (window, m(1+n))

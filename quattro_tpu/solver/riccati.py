@@ -30,6 +30,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from quattro_tpu.ops.smallchol import batched_spd_solve
 from quattro_tpu.solver.derivatives import CostExpansion
 
 
@@ -50,18 +51,21 @@ def _q_expansion(a, b, l_x, l_u, l_xx, l_uu, l_ux, v_x, v_xx):
     return q_x, q_u, q_xx, q_ux, q_uu
 
 
-def _gains_and_value(q_x, q_u, q_xx, q_ux, q_uu, reg):
+def _gains_and_value(q_x, q_u, q_xx, q_ux, q_uu, reg, use_chol: bool = True):
     """Gains from regularized Q_uu; value update with *unregularized* Q_uu.
 
     Matches the reference exactly: regularization only enters the solve
     (quattro_ilqr_tf.py:304-309) while the cost-to-go update uses raw Q_uu
-    (:315-316), followed by symmetrization (:317). Uses an LU solve instead of
-    the reference's explicit inverse (a quirk not to replicate, SURVEY.md §7.8).
+    (:315-316), followed by symmetrization (:317). Solves instead of forming
+    the reference's explicit inverse (a quirk not to replicate, SURVEY.md
+    §7.8); ``use_chol`` picks the unrolled small-matrix Cholesky (VPU-lane
+    code, SPD-only) over LU.
     """
     m = q_uu.shape[0]
     q_uu_reg = q_uu + reg * jnp.eye(m, dtype=q_uu.dtype)
     rhs = jnp.concatenate([q_u[:, None], q_ux], axis=1)  # (m, 1+n)
-    sol = -jnp.linalg.solve(q_uu_reg, rhs)
+    solve = batched_spd_solve if use_chol else jnp.linalg.solve
+    sol = -solve(q_uu_reg, rhs)
     k = sol[:, 0]
     big_k = sol[:, 1:]
 
@@ -78,6 +82,7 @@ def riccati_backward(
     v_x_final: jnp.ndarray,
     v_xx_final: jnp.ndarray,
     reg: float = 1e-6,
+    use_chol: bool = True,
 ) -> RiccatiResult:
     """Sequential (scan) backward Riccati over the full horizon.
 
@@ -88,7 +93,7 @@ def riccati_backward(
         v_x, v_xx = carry
         a, b, l_x, l_u, l_xx, l_uu, l_ux = inp
         q = _q_expansion(a, b, l_x, l_u, l_xx, l_uu, l_ux, v_x, v_xx)
-        k, big_k, v_x_new, v_xx_new = _gains_and_value(*q, reg)
+        k, big_k, v_x_new, v_xx_new = _gains_and_value(*q, reg, use_chol)
         return (v_x_new, v_xx_new), (k, big_k, v_x_new, v_xx_new)
 
     inputs = (a_seq, b_seq, cost_exp.l_x, cost_exp.l_u, cost_exp.l_xx, cost_exp.l_uu, cost_exp.l_ux)
@@ -108,6 +113,7 @@ def riccati_backward_segment(
     v_xx_final: jnp.ndarray,
     window: int,
     reg: float = 1e-6,
+    use_chol: bool = True,
 ) -> RiccatiResult:
     """Backward Riccati over only the LAST ``window`` steps of the horizon.
 
@@ -124,7 +130,7 @@ def riccati_backward_segment(
         cost_exp.l_uu[sl],
         cost_exp.l_ux[sl],
     )
-    return riccati_backward(a_seq[sl], b_seq[sl], tail_exp, v_x_final, v_xx_final, reg)
+    return riccati_backward(a_seq[sl], b_seq[sl], tail_exp, v_x_final, v_xx_final, reg, use_chol)
 
 
 # ---------------------------------------------------------------------------
@@ -282,6 +288,7 @@ def riccati_backward_associative(
     v_x_final: jnp.ndarray,
     v_xx_final: jnp.ndarray,
     reg: float = 1e-6,
+    use_chol: bool = True,
 ) -> RiccatiResult:
     """Parallel (associative-scan) backward Riccati.
 
@@ -296,7 +303,7 @@ def riccati_backward_associative(
 
     def gains(a, b, l_x, l_u, l_xx, l_uu, l_ux, v_x, v_xx):
         q = _q_expansion(a, b, l_x, l_u, l_xx, l_uu, l_ux, v_x, v_xx)
-        k, big_k, _, _ = _gains_and_value(*q, reg)
+        k, big_k, _, _ = _gains_and_value(*q, reg, use_chol)
         return k, big_k
 
     k_seq, big_k_seq = jax.vmap(gains)(

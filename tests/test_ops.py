@@ -152,3 +152,16 @@ class TestLQRKKT:
         np.testing.assert_allclose(
             np.asarray(dx_kkt), np.asarray(dx_riccati), rtol=1e-5, atol=1e-8
         )
+
+
+def test_pallas_cholesky_matches_unrolled():
+    from quattro_tpu.ops.smallchol import batched_cholesky_solve_pallas
+
+    key = jax.random.PRNGKey(3)
+    for m, r, batch in ((4, 5, 256), (1, 2, 128)):
+        w = jax.random.normal(key, (batch, m, m))
+        a = jnp.einsum("bij,bkj->bik", w, w) + jnp.eye(m)
+        b = jax.random.normal(key, (batch, m, r))
+        expected, _ = batched_cholesky_solve(a, b)
+        out = batched_cholesky_solve_pallas(a, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-6, atol=1e-8)
