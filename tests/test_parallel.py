@@ -114,3 +114,45 @@ def test_horizon_partitioned_riccati_cartpole():
     np.testing.assert_allclose(
         np.asarray(par.big_k_seq), np.asarray(seq.big_k_seq), rtol=3e-3, atol=1e-3
     )
+
+
+def test_podscale_riccati_2d_mesh():
+    """Combined traj x horizon sharding (BASELINE config 5, miniature):
+    batch of LQ problems, horizon partitioned, matches per-problem sequential
+    backward passes."""
+    from quattro_tpu.parallel.podscale import podscale_riccati_backward
+
+    mesh = make_mesh((2, 4))
+    batch, horizon, n, m = 4, 32, 6, 2
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 8)
+    a = jnp.eye(n) + 0.01 * jax.random.normal(ks[0], (batch, horizon, n, n))
+    b = 0.05 * jax.random.normal(ks[1], (batch, horizon, n, m))
+    w = jax.random.normal(ks[2], (batch, horizon, n, n))
+    from quattro_tpu.solver.derivatives import CostExpansion
+
+    exp = CostExpansion(
+        l_x=jax.random.normal(ks[3], (batch, horizon, n)),
+        l_u=jax.random.normal(ks[4], (batch, horizon, m)),
+        l_xx=0.1 * jnp.einsum("bhij,bhkj->bhik", w, w) + 0.1 * jnp.eye(n),
+        l_uu=jnp.broadcast_to(jnp.eye(m), (batch, horizon, m, m)),
+        l_ux=0.05 * jax.random.normal(ks[5], (batch, horizon, m, n)),
+    )
+    v_x = jax.random.normal(ks[6], (batch, n))
+    wf = jax.random.normal(ks[7], (batch, n, n))
+    v_xx = jnp.einsum("bij,bkj->bik", wf, wf) + jnp.eye(n)
+
+    pod = podscale_riccati_backward(mesh, a, b, exp, v_x, v_xx)
+
+    for i in range(batch):
+        exp_i = CostExpansion(*(f[i] for f in exp))
+        seq = riccati_backward(a[i], b[i], exp_i, v_x[i], v_xx[i])
+        np.testing.assert_allclose(
+            np.asarray(pod.k_seq[i]), np.asarray(seq.k_seq), rtol=2e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(pod.big_k_seq[i]), np.asarray(seq.big_k_seq), rtol=2e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(pod.v_x_seq[i]), np.asarray(seq.v_x_seq), rtol=1e-3, atol=1e-5
+        )
