@@ -97,7 +97,8 @@ def main() -> None:
     parser.add_argument("--layers", type=int, default=3)
     parser.add_argument("--ff", type=int, default=None)
     parser.add_argument("--out", required=True, help="output GainPredictor npz path")
-    parser.add_argument("--dataset-out", default=None, help="optional npz dump of the dataset")
+    parser.add_argument("--dataset-out", default=None,
+                        help="optional dataset dump: .qtshard (native validated shards) or .npz")
     args = parser.parse_args()
 
     import jax
@@ -136,7 +137,9 @@ def main() -> None:
     )
     print(f"collected {dataset.x_data.shape[0]} rows in {time.time() - t0:.1f}s", flush=True)
     if args.dataset_out:
-        np.savez_compressed(args.dataset_out, x_data=dataset.x_data, kk_data=dataset.kk_data)
+        from quattro_tpu.training import save_gain_dataset
+
+        save_gain_dataset(args.dataset_out, dataset)
 
     # 80/20 split, shuffled with a fixed seed (transformer_training.py:45-56).
     rng = np.random.default_rng(42)

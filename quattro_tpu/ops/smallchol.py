@@ -173,10 +173,10 @@ def batched_cholesky_solve_pallas(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m * r, batch), a.dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
     )(a_soa, b_soa)
     return x_soa.T.reshape(batch, m, r)

@@ -133,7 +133,7 @@ def sharded_suffix_value_functions(
         return -combined.eta, combined.j
 
     spec = PartitionSpec(axis)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     v_x_all, v_xx_all = shard_map(
         local_block,

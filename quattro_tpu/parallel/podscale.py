@@ -125,7 +125,7 @@ def podscale_riccati_backward(
         )
         return k_seq, big_k_seq, v_x, v_xx
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     bh = PartitionSpec(batch_axis, horizon_axis)
     b_only = PartitionSpec(batch_axis)

@@ -5,13 +5,21 @@ MuJoCo sweep becomes vmapped batched MPC rollouts on the mesh, pickle streams
 become stacked arrays, and the PyTorch loop becomes optax + jit.
 """
 
-from quattro_tpu.training.collect import collect_gain_dataset, GainDataset, lhs_initial_states
+from quattro_tpu.training.collect import (
+    collect_gain_dataset,
+    GainDataset,
+    lhs_initial_states,
+    load_gain_dataset,
+    save_gain_dataset,
+)
 from quattro_tpu.training.train import TrainConfig, train_gain_predictor
 
 __all__ = [
     "collect_gain_dataset",
     "GainDataset",
     "lhs_initial_states",
+    "load_gain_dataset",
+    "save_gain_dataset",
     "TrainConfig",
     "train_gain_predictor",
 ]

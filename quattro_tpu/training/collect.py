@@ -114,3 +114,47 @@ def collect_gain_dataset(
         [k_rows[mask, :, :], big_k_rows[mask].reshape(mask.sum(), horizon, -1)], axis=-1
     )
     return GainDataset(x_data=x_rows[mask], kk_data=kk)
+
+
+def save_gain_dataset(path: str, dataset: GainDataset, rows_per_record: int = 1024) -> str:
+    """Persist a dataset: ``.qtshard`` → native validated shard records
+    (C++ framing, quattro_tpu.io), anything else → compressed npz.
+
+    The shard path chunks rows into records so partially-written collection
+    jobs stay loadable up to the last complete chunk (the reference bounded
+    loss the same way with periodic pickle flushes,
+    training_data_collection.py:197-202).
+    """
+    if path.endswith(".qtshard"):
+        from quattro_tpu.io import ShardWriter
+
+        with ShardWriter(path) as w:
+            for i in range(0, dataset.x_data.shape[0], rows_per_record):
+                w.append({
+                    "x_data": np.asarray(dataset.x_data[i:i + rows_per_record]),
+                    "kk_data": np.asarray(dataset.kk_data[i:i + rows_per_record]),
+                })
+    else:
+        np.savez_compressed(path, x_data=np.asarray(dataset.x_data),
+                            kk_data=np.asarray(dataset.kk_data))
+    return path
+
+
+def load_gain_dataset(paths) -> GainDataset:
+    """Load + concatenate dataset files (npz and/or qtshard, mixed OK)."""
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    xs, ks = [], []
+    for p in paths:
+        if str(p).endswith(".qtshard"):
+            from quattro_tpu.io import ShardReader
+
+            with ShardReader(str(p)) as r:
+                for rec in r:
+                    xs.append(np.array(rec["x_data"]))
+                    ks.append(np.array(rec["kk_data"]))
+        else:
+            with np.load(p) as data:
+                xs.append(data["x_data"])
+                ks.append(data["kk_data"])
+    return GainDataset(np.concatenate(xs, axis=0), np.concatenate(ks, axis=0))

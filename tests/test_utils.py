@@ -85,7 +85,7 @@ def test_nan_guard():
 def test_verify_halo_exchange():
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec
 
     from quattro_tpu.parallel import make_mesh
