@@ -3,9 +3,15 @@
 ``bench.py`` at the repo root prints the single headline JSON line; this
 suite produces the full table for BASELINE.md comparisons:
 
-1. riccati_blocknnz   block-nnz/s of the (associative-scan) Riccati
-                      factorization — the north-star throughput metric —
-                      at MPC scale and pod-feed scale (H=1024, batched).
+1. riccati_blocknnz   block-nnz/s of the Riccati factorization — the
+                      north-star throughput metric — sequential-scan vs
+                      associative-scan at three shapes. Measured crossover
+                      (v5e): the associative form wins ~3x on SINGLE-
+                      trajectory latency at long H (its O(log H) depth);
+                      with a trajectory batch >= ~8 the vmapped sequential
+                      scan wins ~8x (the batch axis already fills the MXU and
+                      each element combine costs ~12x a plain Riccati step).
+                      ``riccati_backward_auto`` encodes this dispatch.
 2. hybrid_speedup     per-iteration wall time of the hybrid (tail window +
                       transformer) iteration vs the full-horizon iteration —
                       the reference's headline per-iteration comparison
@@ -54,6 +60,7 @@ def bench_riccati_blocknnz():
     key = jax.random.PRNGKey(0)
     for label, (batch, horizon, n, m) in {
         "mpc_scale_H100": (1, 100, 12, 4),
+        "latency_scale_H1024": (1, 1024, 12, 4),
         "pod_feed_H1024": (64, 1024, 12, 4),
     }.items():
         ks = jax.random.split(key, 8)

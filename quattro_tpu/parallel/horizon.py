@@ -41,8 +41,26 @@ from quattro_tpu.solver.riccati import (
 
 
 def _local_suffix_scan(elems: ValueElement) -> ValueElement:
-    """Inclusive suffix scan of a local block of elements."""
-    return jax.lax.associative_scan(lambda a, b: _combine(b, a), elems, reverse=True)
+    """Inclusive suffix scan of a local block of elements, via ``lax.scan``.
+
+    Sequential composition rather than ``associative_scan``, deliberately:
+    (a) within a shard the element batch is small, so log-depth buys nothing
+    (the measured single-chip crossover in docs/DESIGN.md §2 applies
+    per-device), and (b) ``associative_scan`` UNROLLS the combine ~2 log2(H)
+    times into the graph, which blew XLA compile time up >10x inside
+    shard_map; a scan keeps ONE combine instance.
+    """
+
+    def step(carry, elem):
+        composed = _combine(elem, carry)
+        return composed, composed
+
+    last = jax.tree.map(lambda x: x[-1], elems)
+    init = jax.tree.map(lambda x: x[:-1], elems)
+    _, suffixes = jax.lax.scan(step, last, init, reverse=True)
+    return jax.tree.map(
+        lambda s, l: jnp.concatenate([s, l[None]], axis=0), suffixes, last
+    )
 
 
 def _identity_element(n: int, dtype) -> ValueElement:
@@ -105,25 +123,33 @@ def sharded_suffix_value_functions(
         #    device d needs  block[d+1] . block[d+2] . ... . block[D-1].
         #    Linear ring: D-1 ppermute hops from right to left, accumulating.
         #    What moves is the boundary value element — the (V_x, V_xx) halo.
-        acc = ident
-        incoming = block_elem
-        for hop in range(1, num_shards):
+        # One combine instance for all hops (lax.scan over the hop index —
+        # unrolling the ring inlined the combine D-1 times and dominated
+        # compile time on CPU-emulated meshes).
+        perm = [(i, (i - 1) % num_shards) for i in range(num_shards)]
+
+        def hop_step(carry, hop):
+            acc_c, incoming_c = carry
             shifted = jax.tree.map(
-                lambda x: jax.lax.ppermute(
-                    x, axis, [(i, (i - 1) % num_shards) for i in range(num_shards)]
-                ),
-                incoming,
+                lambda x: jax.lax.ppermute(x, axis, perm), incoming_c
             )
             # After `hop` hops device d holds block[d+hop] (mod D). Only
             # compose genuine right-neighbors — wrapped-around elements are
             # masked out per hop.
             take = idx + hop <= num_shards - 1
-            acc = jax.tree.map(
+            acc_c = jax.tree.map(
                 lambda new, old: jnp.where(take, new, old),
-                _combine(acc, shifted),
-                acc,
+                _combine(acc_c, shifted),
+                acc_c,
             )
-            incoming = shifted
+            return (acc_c, shifted), None
+
+        # The identity init is device-invariant; mark it varying over the mesh
+        # axis so the scan carry type matches the per-device combined output.
+        ident_v = jax.tree.map(lambda x: jax.lax.pvary(x, (axis,)), ident)
+        (acc, _), _ = jax.lax.scan(
+            hop_step, (ident_v, block_elem), jnp.arange(1, num_shards)
+        )
 
         # 3) compose local suffixes (dropping the appended tail slot) with the
         #    cross-device suffix of everything to the right of this block.

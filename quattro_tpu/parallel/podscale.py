@@ -84,18 +84,31 @@ def podscale_riccati_backward(
             lambda x: jnp.broadcast_to(x, (a_blk.shape[0],) + x.shape),
             _identity_element(n, dtype),
         )
-        acc = ident_b
-        incoming = block_elem
         perm = [(i, (i - 1) % num_h) for i in range(num_h)]
-        for hop in range(1, num_h):
+
+        # lax.scan over hops: one combine instance in the graph (the unrolled
+        # ring dominated compile time, see parallel/horizon.py).
+        def hop_step(carry, hop):
+            acc_c, incoming_c = carry
             shifted = jax.tree.map(
-                lambda x: jax.lax.ppermute(x, horizon_axis, perm), incoming
+                lambda x: jax.lax.ppermute(x, horizon_axis, perm), incoming_c
             )
             take = h_idx + hop <= num_h - 1
-            acc = jax.tree.map(
-                lambda new, old: jnp.where(take, new, old), _combine(acc, shifted), acc
+            acc_c = jax.tree.map(
+                lambda new, old: jnp.where(take, new, old),
+                _combine(acc_c, shifted),
+                acc_c,
             )
-            incoming = shifted
+            return (acc_c, shifted), None
+
+        # Mark the device-invariant identity init varying over both mesh axes
+        # so the scan carry type matches the per-device combined output.
+        ident_v = jax.tree.map(
+            lambda x: jax.lax.pvary(x, (horizon_axis, batch_axis)), ident_b
+        )
+        (acc, _), _ = jax.lax.scan(
+            hop_step, (ident_v, block_elem), jnp.arange(1, num_h)
+        )
 
         combined = _combine(
             local_main, jax.tree.map(lambda x: x[:, None], acc)

@@ -19,6 +19,7 @@ from quattro_tpu.solver.riccati import (
     riccati_backward,
     riccati_backward_segment,
     riccati_backward_associative,
+    riccati_backward_auto,
 )
 from quattro_tpu.solver.rollout import simulate, trajectory_cost, feedback_rollout, line_search
 from quattro_tpu.solver.ilqr import (
@@ -41,6 +42,7 @@ __all__ = [
     "riccati_backward",
     "riccati_backward_segment",
     "riccati_backward_associative",
+    "riccati_backward_auto",
     "simulate",
     "trajectory_cost",
     "feedback_rollout",

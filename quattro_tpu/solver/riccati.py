@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from quattro_tpu.ops.smallchol import batched_spd_solve
+from quattro_tpu.ops.smalllu import lu_solve, unrolled_lu
 from quattro_tpu.solver.derivatives import CostExpansion
 
 
@@ -158,9 +159,13 @@ def _combine(earlier: ValueElement, later: ValueElement) -> ValueElement:
     """Compose element over [t,s) with element over [s,r) -> element over [t,r).
 
     Batched over arbitrary leading axes (``jax.lax.associative_scan`` invokes
-    the operator on stacked element slices). One batched n x n LU solve per
-    combine; (I + J2 C1) = (I + C1 J2)^T by symmetry of C and J, so both
-    inverses come from one factorization and its transpose.
+    the operator on stacked element slices). Both needed inverses —
+    (I + C1 J2)^{-1} and its transpose (I + J2 C1)^{-1}, equal by symmetry of
+    C and J — come from ONE unrolled LU factorization
+    (``ops/smalllu.py``; XLA's pivoting batched LU is 2.5-5x slower on TPU
+    for these n <= 16 blocks, benchmarks/results_tpu.json). No pivoting is
+    safe: spec(I + C1 J2) = 1 + eig(C1^{1/2} J2 C1^{1/2}) >= 1 for PSD C, J
+    (accuracy vs pivoted LU pinned in tests/test_ops.py).
     """
     a1, b1, c1, eta1, j1 = earlier
     a2, b2, c2, eta2, j2 = later
@@ -174,17 +179,18 @@ def _combine(earlier: ValueElement, later: ValueElement) -> ValueElement:
         return jnp.einsum("...ij,...j->...i", mat, vec)
 
     lhs = eye + c1 @ j2  # (I + C1 J2)
-    # Solve all right-hand sides of (I + C1 J2)^{-1} [...] in one factorization:
-    # columns = [A1 | (b1 + C1 eta2) | C1].
+    factors = unrolled_lu(lhs)
+
+    # (I + C1 J2)^{-1} [...]: columns = [A1 | (b1 + C1 eta2) | C1].
     rhs = jnp.concatenate([a1, (b1 + mv(c1, eta2))[..., None], c1], axis=-1)
-    sol = jnp.linalg.solve(lhs, rhs)
+    sol = lu_solve(factors, rhs, transpose=False)
     m_a1 = sol[..., :n]
     m_bc = sol[..., n]
     m_c1 = sol[..., n + 1 :]
 
     # (I + J2 C1)^{-1} [...] = solve(lhs^T, [...]): columns = [(eta2 - J2 b1) | J2 A1].
     rhs_t = jnp.concatenate([(eta2 - mv(j2, b1))[..., None], j2 @ a1], axis=-1)
-    sol_t = jnp.linalg.solve(tr(lhs), rhs_t)
+    sol_t = lu_solve(factors, rhs_t, transpose=True)
     mt_eta = sol_t[..., 0]
     mt_j_a1 = sol_t[..., 1:]
 
@@ -224,9 +230,9 @@ def _stage_elements(
     def make(a, b, l_x, l_u, l_xx, l_uu, l_ux):
         m = l_uu.shape[0]
         l_uu_reg = l_uu + reg * jnp.eye(m, dtype=l_uu.dtype)
-        # Solve l_uu^{-1} [l_u | l_ux | B'] in one factorization.
+        # Solve l_uu^{-1} [l_u | l_ux | B'] in one factorization (SPD, m small).
         rhs = jnp.concatenate([l_u[:, None], l_ux, b.T], axis=1)  # (m, 1+n+n)
-        sol = jnp.linalg.solve(l_uu_reg, rhs)
+        sol = batched_spd_solve(l_uu_reg, rhs)
         luu_inv_lu = sol[:, 0]
         luu_inv_lux = sol[:, 1 : 1 + l_ux.shape[1]]
         luu_inv_bt = sol[:, 1 + l_ux.shape[1] :]
@@ -318,3 +324,36 @@ def riccati_backward_associative(
         v_xx_seq[1:],
     )
     return RiccatiResult(k_seq, big_k_seq, v_x_seq, v_xx_seq)
+
+
+def riccati_backward_auto(
+    a_seq: jnp.ndarray,
+    b_seq: jnp.ndarray,
+    cost_exp: CostExpansion,
+    v_x_final: jnp.ndarray,
+    v_xx_final: jnp.ndarray,
+    reg: float = 1e-6,
+    use_chol: bool = True,
+    batch_size: int = 1,
+    latency_crossover_h: int = 16,
+) -> RiccatiResult:
+    """Pick the faster backward-pass form for the workload shape.
+
+    Measured on a v5e chip (benchmarks/results_tpu.json, n=12, m=4):
+
+    - **Batched** (traj >= ~8): the vmapped sequential scan wins outright —
+      the batch axis already fills the MXU, so O(log H) depth buys nothing
+      and the element combines cost ~12x more arithmetic (25 ms vs 286 ms
+      at batch 64, H=1024).
+    - **Single-trajectory**: the associative scan's log-depth wins at every
+      measured horizon (H=30: 1.56 vs 1.69 ms ... H=1024: 3.8 vs 14.2 ms).
+
+    ``batch_size`` is the caller's trajectory-batch width (static under jit);
+    the horizon comes from ``a_seq``.
+    """
+    horizon = a_seq.shape[0]
+    if batch_size == 1 and horizon >= latency_crossover_h:
+        return riccati_backward_associative(
+            a_seq, b_seq, cost_exp, v_x_final, v_xx_final, reg, use_chol
+        )
+    return riccati_backward(a_seq, b_seq, cost_exp, v_x_final, v_xx_final, reg, use_chol)

@@ -165,3 +165,62 @@ def test_pallas_cholesky_matches_unrolled():
         expected, _ = batched_cholesky_solve(a, b)
         out = batched_cholesky_solve_pallas(a, b, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-6, atol=1e-8)
+
+
+class TestSmallLU:
+    """ops/smalllu.py: unrolled no-pivot LU vs jnp.linalg.solve."""
+
+    def _problems(self, n, batch, key):
+        import jax
+        import jax.numpy as jnp
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        # The Riccati-combine shape: I + C @ J with C, J PSD.
+        wc = jax.random.normal(k1, (batch, n, n))
+        wj = jax.random.normal(k2, (batch, n, n))
+        c = jnp.einsum("bij,bkj->bik", wc, wc)
+        j = 0.5 * jnp.einsum("bij,bkj->bik", wj, wj)
+        a = jnp.eye(n) + c @ j
+        b = jax.random.normal(k3, (batch, n, 2 * n + 1))
+        return a, b
+
+    @pytest.mark.parametrize("n", [4, 8, 12])
+    def test_matches_lu_solve(self, n):
+        import jax
+        import jax.numpy as jnp
+
+        from quattro_tpu.ops.smalllu import batched_small_solve
+
+        a, b = self._problems(n, 32, jax.random.PRNGKey(0))
+        want = jnp.linalg.solve(a, b)
+        got = batched_small_solve(a, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-11)
+
+    def test_transpose_solve(self):
+        import jax
+        import jax.numpy as jnp
+
+        from quattro_tpu.ops.smalllu import batched_small_solve
+
+        a, b = self._problems(12, 16, jax.random.PRNGKey(1))
+        want = jnp.linalg.solve(jnp.swapaxes(a, -1, -2), b)
+        got = batched_small_solve(a, b, transpose=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-11)
+
+    def test_refinement_tightens_f32(self):
+        """In f32 the no-pivot solve needs refinement; one step must land
+        within ~10x of the pivoted LU result's own error."""
+        import jax
+        import jax.numpy as jnp
+
+        a, b = self._problems(12, 64, jax.random.PRNGKey(2))
+        a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+        from quattro_tpu.ops.smalllu import batched_small_solve
+
+        exact = np.asarray(jnp.linalg.solve(a, b))  # f64 ground truth
+        lu32 = np.asarray(jnp.linalg.solve(a32, b32)).astype(np.float64)
+        ours32 = np.asarray(batched_small_solve(a32, b32, refine_steps=1)).astype(np.float64)
+        scale = np.max(np.abs(exact))
+        err_lu = np.max(np.abs(lu32 - exact)) / scale
+        err_ours = np.max(np.abs(ours32 - exact)) / scale
+        assert err_ours < 10 * err_lu + 1e-6, (err_ours, err_lu)

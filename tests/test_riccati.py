@@ -130,3 +130,26 @@ def test_value_function_is_positive_definite(cartpole_trajectory):
     res = riccati_backward(a_seq, b_seq, exp, fexp.v_x, fexp.v_xx)
     eigs = np.linalg.eigvalsh(np.asarray(res.v_xx_seq))
     assert (eigs > 0).all()
+
+
+def test_auto_dispatch_matches_both_forms():
+    """riccati_backward_auto: sequential for batched workloads, associative
+    for single-trajectory long horizons; results agree with the sequential
+    form either way (docs/DESIGN.md §2 measured crossover)."""
+    from quattro_tpu.solver import riccati_backward_auto
+
+    key = jax.random.PRNGKey(0)
+    # Batched regime (small horizon keeps it exact: auto == sequential).
+    a_seq, b_seq, exp, v_x, v_xx = random_lq_problem(key, 6, 2, 40)
+    seq = riccati_backward(a_seq, b_seq, exp, v_x, v_xx)
+    auto = riccati_backward_auto(a_seq, b_seq, exp, v_x, v_xx, batch_size=64)
+    np.testing.assert_allclose(np.asarray(auto.k_seq), np.asarray(seq.k_seq), rtol=1e-12)
+
+    # Latency regime: horizon above the crossover -> associative form
+    # (reg placement differs, so tolerance matches the associative tests).
+    a_seq, b_seq, exp, v_x, v_xx = random_lq_problem(key, 6, 2, 300)
+    seq = riccati_backward(a_seq, b_seq, exp, v_x, v_xx)
+    auto = riccati_backward_auto(a_seq, b_seq, exp, v_x, v_xx, batch_size=1)
+    assoc = riccati_backward_associative(a_seq, b_seq, exp, v_x, v_xx)
+    np.testing.assert_allclose(np.asarray(auto.k_seq), np.asarray(assoc.k_seq), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(auto.k_seq), np.asarray(seq.k_seq), rtol=1e-3, atol=1e-6)
