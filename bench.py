@@ -59,14 +59,30 @@ def main():
 
     # Warm-up / compile.
     sol = solve(x0, u0)
-    jax.block_until_ready(sol.cost)
     assert int(sol.iterations) == num_iters
 
+    # Timing: `repeats` solves dependency-chained inside ONE jitted fori_loop,
+    # synchronized by fetching the final scalar to the host. On this rig
+    # block_until_ready can return before remote execution completes (axon
+    # tunnel), so a host fetch is the only honest barrier; chaining prevents
+    # XLA from eliding identical repeats, and the single dispatch amortizes
+    # the tunnel round-trip out of the measurement.
     repeats = 20
+
+    def chained(x_init, u_init):
+        def body(_, carry):
+            x_c, probe = carry
+            s = solve(x_c + probe, u_init)
+            return x_c, s.cost * jnp.asarray(1e-30, dtype=x_c.dtype)
+
+        zero = jnp.asarray(0.0, dtype=x_init.dtype)
+        _, probe = jax.lax.fori_loop(0, repeats, body, (x_init, zero))
+        return probe
+
+    chained_j = jax.jit(chained)
+    float(chained_j(x0, u0))  # compile + warm
     start = time.perf_counter()
-    for _ in range(repeats):
-        sol = solve(x0, u0)
-    jax.block_until_ready(sol.cost)
+    float(chained_j(x0, u0))
     elapsed = time.perf_counter() - start
 
     seconds_per_iteration = elapsed / (repeats * num_iters)

@@ -9,10 +9,11 @@ numbers on THIS host are stored in bench_baseline.json (measured with the
 reference's own code: pure NumPy FD iLQR + torch-CPU transformer).
 
 Two timing modes:
-- pipelined: N steps dispatched back-to-back (device throughput; hides the
-  ~25 ms axon tunnel round-trip of this rig, which a local host would not pay)
-- blocking: block_until_ready per step (what a host-in-the-loop sim would see
-  on this rig, tunnel included)
+- device: N closed-loop steps (controller + plant) chained inside ONE jitted
+  scan, synchronized by a single host fetch — per-step device time, free of
+  this rig's ~25 ms tunnel round-trip (which a local host would not pay)
+- host_in_loop: one control step with a host fetch each time — end-to-end
+  latency a host-resident simulator sees ON THIS RIG (tunnel included)
 """
 
 from __future__ import annotations
@@ -47,29 +48,47 @@ def build(mode: str):
 
 
 def measure(ctrl, steps=50):
-    x = jnp.zeros(12).at[2].set(0.2).at[6].set(0.1)
-    state = ctrl.init_state()
-    out = ctrl.step(x, state)  # compile
-    jax.block_until_ready(out[0])
+    """(host_in_loop_ms, device_ms) per closed-loop MPC step.
 
-    # Blocking per-step (tunnel-included on this rig).
-    state_b = ctrl.init_state()
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = ctrl.step(x, state_b)
-        state_b = out[-1]
-        jax.block_until_ready(out[0])
-    blocking = (time.perf_counter() - t0) / steps
+    device: `steps` control steps + plant steps chained in ONE jitted scan,
+    synchronized by fetching a scalar — the honest per-step device time (on
+    this rig `block_until_ready` can return before remote execution
+    completes, and every host fetch pays a ~25 ms tunnel round-trip, so
+    per-step host timing measures the tunnel, not the controller).
+    host_in_loop: one step with a host fetch of the control — what a
+    host-resident simulator would see end-to-end ON THIS RIG.
+    """
+    from quattro_tpu.systems import make_discrete, quadrotor_dynamics
 
-    # Pipelined: dispatch all steps, block once (device time per step).
-    state_p = ctrl.init_state()
+    plant = make_discrete(quadrotor_dynamics, 0.01, "rk4")
+    x0 = jnp.zeros(12).at[2].set(0.2).at[6].set(0.1)
+
+    def closed_loop(x_init):
+        def body(carry, _):
+            x, state = carry
+            out = ctrl.step(x, state)
+            u, state = out[0], out[-1]
+            u0 = u[0] if u.ndim == 2 else u
+            return (plant(x, u0), state), None
+
+        (x_fin, _), _ = jax.lax.scan(body, (x_init, ctrl.init_state()), None, length=steps)
+        return jnp.sum(x_fin)
+
+    loop_j = jax.jit(closed_loop)
+    float(loop_j(x0))  # compile + warm
+    float(loop_j(x0))
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = ctrl.step(x, state_p)
-        state_p = out[-1]
-    jax.block_until_ready(out[0])
-    pipelined = (time.perf_counter() - t0) / steps
-    return blocking, pipelined
+    float(loop_j(x0))
+    device = (time.perf_counter() - t0) / steps
+
+    one = jax.jit(lambda x, s: ctrl.step(x, s)[0])
+    s0 = ctrl.init_state()
+    float(jnp.sum(one(x0, s0)))  # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(jnp.sum(one(x0, s0)))
+    host_in_loop = (time.perf_counter() - t0) / 5
+    return host_in_loop, device
 
 
 def main():
@@ -79,13 +98,13 @@ def main():
 
     results = {"backend": jax.default_backend()}
     for mode in ("ilqr", "hybrid"):
-        blocking, pipelined = measure(build(mode))
+        host_in_loop, device = measure(build(mode))
         results[mode] = {
-            "blocking_ms_per_step": blocking * 1e3,
-            "pipelined_ms_per_step": pipelined * 1e3,
+            "host_in_loop_ms_per_step": host_in_loop * 1e3,
+            "device_ms_per_step": device * 1e3,
         }
-        print(f"{mode}: blocking {blocking*1e3:.2f} ms/step, "
-              f"pipelined {pipelined*1e3:.2f} ms/step", flush=True)
+        print(f"{mode}: host-in-loop {host_in_loop*1e3:.2f} ms/step (tunnel rig), "
+              f"device {device*1e3:.2f} ms/step", flush=True)
 
     # Reference numbers measured on this host with the reference's own code.
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
@@ -97,7 +116,7 @@ def main():
         for mode in ("ilqr", "hybrid"):
             key = {"ilqr": "pure", "hybrid": "hybrid"}[mode]
             if key in ref:
-                ours = results[mode]["pipelined_ms_per_step"]
+                ours = results[mode]["device_ms_per_step"]
                 results[mode]["vs_reference_same_host"] = ref[key] / ours
                 print(f"{mode}: {ref[key]/ours:.0f}x the reference on this host "
                       f"({ref[key]:.0f} ms -> {ours:.2f} ms)", flush=True)

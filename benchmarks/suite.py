@@ -40,15 +40,45 @@ import jax
 import jax.numpy as jnp
 
 
-def _time_pipelined(fn, args, repeats=20, warmup=2):
-    """Median wall time per call with pipelined dispatch."""
+def _time_pipelined(fn, args, repeats=20, warmup=1):
+    """Mean device time per call, measured as ONE jitted ``fori_loop`` of
+    ``repeats`` dependency-chained calls.
+
+    A zero-valued scalar probe derived from each iteration's output perturbs
+    the next iteration's first argument, so XLA cannot CSE/elide repeats, and
+    the single dispatch makes the measurement immune to host/tunnel
+    round-trips (this rig dispatches through a ~25 ms network tunnel).
+    """
+
+    def loop(first, *rest):
+        # The probe scale is far below one ulp of O(1) data, so adding it does
+        # not change the computed values — but it is data-dependent, so XLA
+        # cannot constant-fold it (x*0.0 folds to 0 and the whole body gets
+        # hoisted as loop-invariant — measured 4 us for a 290 MB workload).
+        tiny = 1e-300 if first.dtype == jnp.float64 else 1e-30
+
+        def body(_, carry):
+            first_c, probe = carry
+            out = fn(first_c + probe, *rest)
+            # Reduce over the FULL output: a single-element probe lets XLA
+            # dead-code-eliminate every other batch element of the call.
+            new_probe = (jnp.sum(out) * tiny).astype(first_c.dtype)
+            return first_c, new_probe
+
+        zero = jnp.asarray(0.0, dtype=first.dtype)
+        _, probe = jax.lax.fori_loop(0, repeats, body, (first, zero))
+        return probe
+
+    looped = jax.jit(loop)
+    # On this rig block_until_ready can return before remote execution
+    # finishes (axon tunnel); only a host FETCH truly synchronizes. The loop
+    # returns one scalar, so the fetch cost is a single tunnel round-trip
+    # amortized over `repeats` chained calls.
+    float(looped(*args))  # compile + warm
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        float(looped(*args))
     start = time.perf_counter()
-    for _ in range(repeats):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    float(looped(*args))
     return (time.perf_counter() - start) / repeats
 
 
@@ -101,8 +131,17 @@ def bench_riccati_blocknnz():
 
 
 def bench_hybrid_speedup():
-    """Per-iteration time: full-horizon backward vs tail-window + transformer."""
-    from quattro_tpu.models import GainPredictor
+    """Per-iteration time: full-horizon backward vs tail-window + transformer.
+
+    Uses the PORTED reference checkpoints (real trained weights) — with
+    random weights the predicted head gains are garbage, the line search
+    rejects every step, and the measured loop is not the production path.
+    """
+    from quattro_tpu.models.torch_port import (
+        CARTPOLE_CHECKPOINT,
+        QUADROTOR_CHECKPOINT,
+        load_torch_checkpoint,
+    )
     from quattro_tpu.solver import (
         ILQRConfig,
         hybrid_ilqr_solve,
@@ -120,7 +159,7 @@ def bench_hybrid_speedup():
             q=jnp.array([5.0, 0.1, 10.0, 0.1]), r=jnp.array([0.001]),
             qf=jnp.array([50.0, 6.0, 100.0, 0.1]), x_ref=jnp.zeros(4),
             x0=jnp.array([0.2, 0.0, 0.3, 0.0]), barrier=0.0,
-            d_model=128, ff=256, max_seq=100,
+            checkpoint=CARTPOLE_CHECKPOINT,
         ),
         "quadrotor_H50": dict(
             dyn=make_discrete(quadrotor_dynamics, 0.01, "rk4"),
@@ -130,20 +169,14 @@ def bench_hybrid_speedup():
             qf=jnp.array([100.0, 100.0, 500.0, 10, 10, 10, 100.0, 100.0, 500.0, 10, 10, 10]),
             x_ref=jnp.zeros(12).at[2].set(0.5),
             x0=jnp.zeros(12).at[2].set(0.2).at[6].set(0.1), barrier=1000.0,
-            d_model=128, ff=512, max_seq=110,
+            checkpoint=QUADROTOR_CHECKPOINT,
         ),
     }
     iters = 4
     for label, cfg in systems.items():
         cost = make_quadratic_cost(cfg["q"], cfg["r"], cfg["x_ref"], barrier_alpha=cfg["barrier"])
         fcost = make_quadratic_final_cost(cfg["qf"], cfg["x_ref"])
-        pred = GainPredictor.create(
-            state_dim=cfg["n"], control_dim=cfg["m"] * (1 + cfg["n"]),
-            prompt_len=cfg["prompt"], target_len=cfg["horizon"] - cfg["prompt"],
-            d_model=cfg["d_model"], nhead=4, num_decoder_layers=3,
-            dim_feedforward=cfg["ff"], max_seq_len=cfg["max_seq"],
-            seq_len_states=cfg["horizon"] + 1,
-        )
+        pred = load_torch_checkpoint(cfg["checkpoint"])
         u0 = jnp.zeros((cfg["horizon"], cfg["m"]))
         solve_cfg = ILQRConfig(tol=0.0, max_iter=iters)
 
@@ -195,11 +228,36 @@ def bench_batch_throughput():
     return results
 
 
+def bench_kernels():
+    """Custom-kernel reference points: Pallas vs XLA-fused jnp for the
+    batched Q_uu Cholesky-and-solve (see ops/smallchol.py docstring)."""
+    from quattro_tpu.ops.smallchol import (
+        batched_cholesky_solve,
+        batched_cholesky_solve_pallas,
+    )
+
+    results = {}
+    key = jax.random.PRNGKey(0)
+    m, r = 4, 13
+    for batch in (4096, 65536, 1048576):
+        w = jax.random.normal(key, (batch, m, m), dtype=jnp.float32)
+        a = jnp.einsum("bij,bkj->bik", w, w) + 2 * jnp.eye(m)
+        b = jax.random.normal(key, (batch, m, r), dtype=jnp.float32)
+        f_jnp = jax.jit(lambda a, b: batched_cholesky_solve(a, b)[0])
+        f_pl = jax.jit(lambda a, b: batched_cholesky_solve_pallas(a, b))
+        results[f"qquu_cholsolve_B{batch}"] = {
+            "jnp_unrolled_s": _time_pipelined(f_jnp, (a, b)),
+            "pallas_s": _time_pipelined(f_pl, (a, b)),
+        }
+    return results
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--json", default=None)
     parser.add_argument(
-        "--only", default=None, choices=["riccati", "hybrid", "batch"], help="run one section"
+        "--only", default=None, choices=["riccati", "hybrid", "batch", "kernels"],
+        help="run one section",
     )
     args = parser.parse_args()
 
@@ -213,6 +271,9 @@ def main():
     if args.only in (None, "batch"):
         out["batch_throughput"] = bench_batch_throughput()
         print(json.dumps({"batch_throughput": out["batch_throughput"]}, indent=2), flush=True)
+    if args.only in (None, "kernels"):
+        out["kernels"] = bench_kernels()
+        print(json.dumps({"kernels": out["kernels"]}, indent=2), flush=True)
 
     if args.json:
         with open(args.json, "w") as f:

@@ -109,6 +109,17 @@ def batched_cholesky_solve_pallas(
     unrolled factorization/substitution is then one (1, B) vector op on the
     VPU, and the whole solve runs out of VMEM with a single HBM round trip.
 
+    The batch axis is tiled by a 1-D grid so VMEM holds one
+    (m*m + 2*m*r, TILE) working set per program instance regardless of B
+    (an ungridded first version OOMed scoped VMEM past B ~ 3e4).
+
+    Measured (v5e, m=4, r=13, f32; benchmarks/results_tpu.json "kernels"):
+    XLA compiles the pure-jnp unrolled form (``batched_cholesky_solve``) to
+    the same VPU-lane code WITHOUT the SoA transposes this kernel pays on
+    entry/exit, so the jnp form is as fast or faster (B=1M: 2.9 ms vs 3.9 ms) and is the
+    solver's default. This kernel is kept as the explicit-kernel reference
+    point and escape hatch if XLA's fusion ever regresses.
+
     Args:
         a: (B, m, m) SPD matrices, m small (<= ~8).
         b: (B, m, r) right-hand sides.
@@ -120,8 +131,18 @@ def batched_cholesky_solve_pallas(
     batch, m, _ = a.shape
     r = b.shape[-1]
 
-    a_soa = a.reshape(batch, m * m).T  # (m*m, B)
-    b_soa = b.reshape(batch, m * r).T  # (m*r, B)
+    # Tile the lane (batch) axis; pad to a full multiple so every grid step
+    # sees a static block. 2048 lanes x (16+52+52) rows x 4 B ~= 1 MB VMEM per buffer (double-buffered pipeline on top).
+    tile = min(2048, max(128, batch))
+    padded = ((batch + tile - 1) // tile) * tile
+    if padded != batch:
+        pad = padded - batch
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=a.dtype), (pad, m, m))
+        a = jnp.concatenate([a, eye], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((pad, m, r), dtype=b.dtype)], axis=0)
+
+    a_soa = a.reshape(padded, m * m).T  # (m*m, B_pad)
+    b_soa = b.reshape(padded, m * r).T  # (m*r, B_pad)
 
     def kernel(a_ref, b_ref, x_ref):
         av = a_ref[...]  # (m*m, B)
@@ -171,12 +192,13 @@ def batched_cholesky_solve_pallas(
 
     x_soa = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((m * r, batch), a.dtype),
+        grid=(padded // tile,),
+        out_shape=jax.ShapeDtypeStruct((m * r, padded), a.dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((m * m, tile), lambda i: (0, i)),
+            pl.BlockSpec((m * r, tile), lambda i: (0, i)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+        out_specs=pl.BlockSpec((m * r, tile), lambda i: (0, i)),
         interpret=interpret,
     )(a_soa, b_soa)
-    return x_soa.T.reshape(batch, m, r)
+    return x_soa.T.reshape(padded, m, r)[:batch]

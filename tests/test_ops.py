@@ -224,3 +224,22 @@ class TestSmallLU:
         err_lu = np.max(np.abs(lu32 - exact)) / scale
         err_ours = np.max(np.abs(ours32 - exact)) / scale
         assert err_ours < 10 * err_lu + 1e-6, (err_ours, err_lu)
+
+
+def test_pallas_cholesky_grid_padding_path():
+    """Batch not divisible by the tile: padded lanes must not leak into the
+    result (the kernel pads with identity systems)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quattro_tpu.ops.smallchol import batched_cholesky_solve, batched_cholesky_solve_pallas
+
+    key = jax.random.PRNGKey(5)
+    batch, m, r = 301, 4, 13  # not a multiple of any tile
+    w = jax.random.normal(key, (batch, m, m))
+    a = jnp.einsum("bij,bkj->bik", w, w) + 2 * jnp.eye(m)
+    b = jax.random.normal(key, (batch, m, r))
+    want, _ = batched_cholesky_solve(a, b)
+    got = batched_cholesky_solve_pallas(a, b, interpret=True)
+    assert got.shape == (batch, m, r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-11)
