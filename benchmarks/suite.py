@@ -236,6 +236,8 @@ def bench_kernels():
         batched_cholesky_solve_pallas,
     )
 
+    from quattro_tpu.ops.blocktridiag import BlockTridiagonal, btd_matvec, btd_matvec_pallas
+
     results = {}
     key = jax.random.PRNGKey(0)
     m, r = 4, 13
@@ -248,6 +250,21 @@ def bench_kernels():
         results[f"qquu_cholsolve_B{batch}"] = {
             "jnp_unrolled_s": _time_pipelined(f_jnp, (a, b)),
             "pallas_s": _time_pipelined(f_pl, (a, b)),
+        }
+
+    # Block-banded SpMV (trajectory-KKT residual evaluation shape).
+    n = 12
+    for nblocks in (1024, 131072):
+        mat = BlockTridiagonal(
+            diag=jax.random.normal(key, (nblocks, n, n), dtype=jnp.float32),
+            lower=jax.random.normal(key, (nblocks - 1, n, n), dtype=jnp.float32),
+        )
+        xv = jax.random.normal(key, (nblocks, n), dtype=jnp.float32)
+        f_jnp = jax.jit(lambda d, lo, x: btd_matvec(BlockTridiagonal(d, lo), x))
+        f_pl = jax.jit(lambda d, lo, x: btd_matvec_pallas(BlockTridiagonal(d, lo), x))
+        results[f"btd_matvec_N{nblocks}"] = {
+            "jnp_s": _time_pipelined(f_jnp, (mat.diag, mat.lower, xv)),
+            "pallas_s": _time_pipelined(f_pl, (mat.diag, mat.lower, xv)),
         }
     return results
 

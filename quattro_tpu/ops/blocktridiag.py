@@ -81,35 +81,73 @@ def btd_matvec_pallas(mat: BlockTridiagonal, x: jnp.ndarray, interpret: bool = F
     """Pallas TPU kernel for the block-banded SpMV.
 
     The three band products are fused in VMEM: one HBM read per operand, one
-    write for the output, no intermediate HBM traffic. Use
-    ``interpret=True`` off-TPU (CPU tests).
+    write for the output, no intermediate HBM traffic. Structure-of-arrays
+    layout (lanes = block index) with the block axis tiled by a 1-D grid, so
+    the VMEM working set is bounded regardless of N. Use ``interpret=True``
+    off-TPU (CPU tests); Mosaic-lowering coverage comes from the benchmark
+    suite's kernels section, which runs this on real TPU.
     """
     num_blocks, n, _ = mat.diag.shape
 
     # Align bands per output row: row t sums lower[t-1] @ x_{t-1},
     # diag[t] @ x_t, lower[t]^T @ x_{t+1}; zero-pad the boundaries.
+    # Stack the three bands into one (N, n, 3n) operand and the shifted block
+    # vectors into (N, 3n): row t computes ONE contraction
+    #   y_t = [lower[t-1] | diag[t] | lower[t]^T] @ [x_{t-1}; x_t; x_{t+1}]
+    # (single einsum — Mosaic rejects both "tji" contractions and multi-op
+    # accumulation chains; the upper band is pre-transposed host-side).
     zeros_block = jnp.zeros((1, n, n), mat.diag.dtype)
     band_prev = jnp.concatenate([zeros_block, mat.lower], axis=0)  # (N, n, n)
-    band_next = jnp.concatenate([mat.lower, zeros_block], axis=0)  # (N, n, n)
+    band_next = jnp.concatenate(
+        [jnp.swapaxes(mat.lower, -1, -2), zeros_block], axis=0
+    )  # (N, n, n)
+    band = jnp.concatenate([band_prev, mat.diag, band_next], axis=-1)  # (N, n, 3n)
     zeros_vec = jnp.zeros((1, n), x.dtype)
-    x_prev = jnp.concatenate([zeros_vec, x[:-1]], axis=0)
-    x_next = jnp.concatenate([x[1:], zeros_vec], axis=0)
+    x_sta = jnp.concatenate(
+        [
+            jnp.concatenate([zeros_vec, x[:-1]], axis=0),
+            x,
+            jnp.concatenate([x[1:], zeros_vec], axis=0),
+        ],
+        axis=-1,
+    )  # (N, 3n)
 
-    def kernel(diag_ref, lo_ref, up_ref, x_ref, xp_ref, xn_ref, out_ref):
-        d = diag_ref[...]
-        out_ref[...] = (
-            jnp.einsum("tij,tj->ti", d, x_ref[...], preferred_element_type=d.dtype)
-            + jnp.einsum("tij,tj->ti", lo_ref[...], xp_ref[...], preferred_element_type=d.dtype)
-            + jnp.einsum("tji,tj->ti", up_ref[...], xn_ref[...], preferred_element_type=d.dtype)
-        )
+    # Structure-of-arrays: lanes = block index (large, dense); a (…, n, 3n)
+    # per-block layout would pad its 3n=36-wide lane dim to 128 on TPU (3.5x
+    # VMEM/HBM inflation — the first version OOMed scoped VMEM). Each output
+    # row i is an unrolled multiply-accumulate over the 3n stacked columns.
+    tile = min(2048, max(128, num_blocks))
+    padded = ((num_blocks + tile - 1) // tile) * tile
+    if padded != num_blocks:
+        pad = padded - num_blocks
+        band = jnp.pad(band, [(0, pad), (0, 0), (0, 0)])
+        x_sta = jnp.pad(x_sta, [(0, pad), (0, 0)])
+    band_soa = band.reshape(padded, n * 3 * n).T  # (3n^2, N_pad)
+    x_soa = x_sta.T  # (3n, N_pad)
+
+    def kernel(band_ref, x_ref, out_ref):
+        bv = band_ref[...]  # (3n^2, tile)
+        xv = x_ref[...]  # (3n, tile)
+        for i in range(n):
+            acc = bv[i * 3 * n, :] * xv[0, :]
+            for j in range(1, 3 * n):
+                acc = acc + bv[i * 3 * n + j, :] * xv[j, :]
+            out_ref[i, :] = acc
 
     from jax.experimental import pallas as pl
 
-    return pl.pallas_call(
+    out_soa = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(padded // tile,),
+        out_shape=jax.ShapeDtypeStruct((n, padded), x.dtype),
+        in_specs=[
+            pl.BlockSpec((n * 3 * n, tile), lambda i: (0, i)),
+            pl.BlockSpec((3 * n, tile), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((n, tile), lambda i: (0, i)),
         interpret=interpret,
-    )(mat.diag, band_prev, band_next, x, x_prev, x_next)
+    )(band_soa, x_soa)
+    return out_soa.T[:num_blocks]
 
 
 class LQRKKTSystem(NamedTuple):
