@@ -14,19 +14,34 @@ the TPU kernels:
 
 from quattro_tpu.ops.blocktridiag import (
     BlockTridiagonal,
+    LQRKKTSystem,
     btd_matvec,
     btd_matvec_pallas,
+    btd_solve,
     build_lqr_kkt,
     kkt_residual,
+    recover_primal,
 )
-from quattro_tpu.ops.smallchol import batched_cholesky_solve, batched_spd_solve
+from quattro_tpu.ops.smallchol import (
+    batched_cholesky_solve,
+    batched_cholesky_solve_pallas,
+    batched_spd_solve,
+)
+from quattro_tpu.ops.smalllu import batched_small_solve, lu_solve, unrolled_lu
 
 __all__ = [
     "BlockTridiagonal",
+    "LQRKKTSystem",
     "btd_matvec",
     "btd_matvec_pallas",
+    "btd_solve",
     "build_lqr_kkt",
     "kkt_residual",
+    "recover_primal",
     "batched_cholesky_solve",
+    "batched_cholesky_solve_pallas",
     "batched_spd_solve",
+    "batched_small_solve",
+    "lu_solve",
+    "unrolled_lu",
 ]

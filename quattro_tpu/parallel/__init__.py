@@ -14,6 +14,7 @@ Axes:
 from quattro_tpu.parallel.mesh import make_mesh, traj_sharding
 from quattro_tpu.parallel.batch import batched_ilqr_solve, sharded_ilqr_solve
 from quattro_tpu.parallel.horizon import sharded_suffix_value_functions, sharded_riccati_backward
+from quattro_tpu.parallel.podscale import podscale_riccati_backward
 
 __all__ = [
     "make_mesh",
@@ -22,4 +23,5 @@ __all__ = [
     "sharded_ilqr_solve",
     "sharded_suffix_value_functions",
     "sharded_riccati_backward",
+    "podscale_riccati_backward",
 ]
