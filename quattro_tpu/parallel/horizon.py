@@ -63,6 +63,84 @@ def _local_suffix_scan(elems: ValueElement) -> ValueElement:
     )
 
 
+def cross_device_exclusive_suffix(
+    block_elem: ValueElement,
+    axis: str,
+    num_shards: int,
+    idx: jnp.ndarray,
+    ident: ValueElement,
+    mode: str = "tree",
+) -> ValueElement:
+    """Exclusive suffix composition of per-device block elements over ``axis``.
+
+    Device d receives ``block[d+1] ∘ block[d+2] ∘ ... ∘ block[D-1]`` (identity
+    on the last device) — the boundary value-function halo. Two schedules:
+
+    - ``"tree"`` (default): recursive doubling — an inclusive-suffix scan with
+      ppermute shifts 1, 2, 4, ... then one shift-by-1 to make it exclusive.
+      ``ceil(log2 D) + 1`` rounds; with ~1 KB halos the exchange is
+      latency-bound, so rounds are the cost that matters (D=64: 7 vs 63).
+    - ``"ring"``: D-1 shift-by-1 hops, one combine per hop, lax.scan'd so the
+      combine appears once in the graph. Simpler; fine for small D.
+
+    ``ident`` must already be broadcast to ``block_elem``'s batch shape.
+    ``idx`` is this device's index along ``axis``.
+    """
+    if mode == "ring":
+
+        def hop_step(carry, hop):
+            acc_c, incoming_c = carry
+            shifted = jax.tree.map(
+                lambda x: jax.lax.ppermute(
+                    x, axis, [(i, (i - 1) % num_shards) for i in range(num_shards)]
+                ),
+                incoming_c,
+            )
+            # After `hop` hops device d holds block[d+hop] (mod D); mask out
+            # wrapped-around elements.
+            take = idx + hop <= num_shards - 1
+            acc_c = jax.tree.map(
+                lambda new, old: jnp.where(take, new, old),
+                _combine(acc_c, shifted),
+                acc_c,
+            )
+            return (acc_c, shifted), None
+
+        ident_v = jax.tree.map(lambda x: jax.lax.pvary(x, (axis,)), ident)
+        (acc, _), _ = jax.lax.scan(
+            hop_step, (ident_v, block_elem), jnp.arange(1, num_shards)
+        )
+        return acc
+
+    if mode != "tree":
+        raise ValueError(f"unknown cross-device scan mode {mode!r}")
+
+    # Inclusive suffix by recursive doubling: after step k, S_d covers blocks
+    # [d, min(d + 2^{k+1}, D) ). Each step is ONE ppermute + ONE combine;
+    # the unrolled k-loop puts only ceil(log2 D) combine instances in the
+    # graph (vs D-1 for an unrolled ring).
+    suffix = block_elem
+    shift = 1
+    while shift < num_shards:
+        perm = [(i, (i - shift) % num_shards) for i in range(num_shards)]
+        shifted = jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm), suffix)
+        take = idx + shift <= num_shards - 1
+        suffix = jax.tree.map(
+            lambda new, old: jnp.where(take, new, old),
+            _combine(suffix, shifted),
+            suffix,
+        )
+        shift *= 2
+
+    # Exclusive: device d wants S_{d+1}; the last device gets the identity.
+    perm1 = [(i, (i - 1) % num_shards) for i in range(num_shards)]
+    shifted = jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm1), suffix)
+    ident_v = jax.tree.map(lambda x: jax.lax.pvary(x, (axis,)), ident)
+    return jax.tree.map(
+        lambda s, i: jnp.where(idx == num_shards - 1, i, s), shifted, ident_v
+    )
+
+
 def _identity_element(n: int, dtype) -> ValueElement:
     """Neutral element of the composition: V passes through unchanged.
 
@@ -87,6 +165,7 @@ def sharded_suffix_value_functions(
     v_xx_final: jnp.ndarray,
     reg: float = 1e-6,
     axis: str = "horizon",
+    scan_mode: str = "tree",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(V_x[t], V_xx[t]) for t = 0..H-1 with the horizon sharded over ``axis``.
 
@@ -119,36 +198,10 @@ def sharded_suffix_value_functions(
         local = _local_suffix_scan(elems)
         block_elem = jax.tree.map(lambda x: x[0], local)  # whole-block element
 
-        # 2) exclusive suffix scan of block elements across devices:
-        #    device d needs  block[d+1] . block[d+2] . ... . block[D-1].
-        #    Linear ring: D-1 ppermute hops from right to left, accumulating.
-        #    What moves is the boundary value element — the (V_x, V_xx) halo.
-        # One combine instance for all hops (lax.scan over the hop index —
-        # unrolling the ring inlined the combine D-1 times and dominated
-        # compile time on CPU-emulated meshes).
-        perm = [(i, (i - 1) % num_shards) for i in range(num_shards)]
-
-        def hop_step(carry, hop):
-            acc_c, incoming_c = carry
-            shifted = jax.tree.map(
-                lambda x: jax.lax.ppermute(x, axis, perm), incoming_c
-            )
-            # After `hop` hops device d holds block[d+hop] (mod D). Only
-            # compose genuine right-neighbors — wrapped-around elements are
-            # masked out per hop.
-            take = idx + hop <= num_shards - 1
-            acc_c = jax.tree.map(
-                lambda new, old: jnp.where(take, new, old),
-                _combine(acc_c, shifted),
-                acc_c,
-            )
-            return (acc_c, shifted), None
-
-        # The identity init is device-invariant; mark it varying over the mesh
-        # axis so the scan carry type matches the per-device combined output.
-        ident_v = jax.tree.map(lambda x: jax.lax.pvary(x, (axis,)), ident)
-        (acc, _), _ = jax.lax.scan(
-            hop_step, (ident_v, block_elem), jnp.arange(1, num_shards)
+        # 2) exclusive suffix scan of block elements across devices — the
+        #    boundary value-element ((V_x, V_xx)) halo exchange.
+        acc = cross_device_exclusive_suffix(
+            block_elem, axis, num_shards, idx, ident, mode=scan_mode
         )
 
         # 3) compose local suffixes (dropping the appended tail slot) with the
@@ -181,10 +234,11 @@ def sharded_riccati_backward(
     v_xx_final: jnp.ndarray,
     reg: float = 1e-6,
     axis: str = "horizon",
+    scan_mode: str = "tree",
 ) -> RiccatiResult:
     """Full horizon-partitioned backward pass: sharded suffix Vs + local gains."""
     v_x_head, v_xx_head = sharded_suffix_value_functions(
-        mesh, a_seq, b_seq, cost_exp, v_x_final, v_xx_final, reg, axis
+        mesh, a_seq, b_seq, cost_exp, v_x_final, v_xx_final, reg, axis, scan_mode
     )
     v_x_seq = jnp.concatenate([v_x_head, v_x_final[None]], axis=0)
     v_xx_seq = jnp.concatenate([v_xx_head, v_xx_final[None]], axis=0)

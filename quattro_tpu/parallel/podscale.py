@@ -30,7 +30,11 @@ from quattro_tpu.solver.riccati import (
     _stage_elements,
     _terminal_element,
 )
-from quattro_tpu.parallel.horizon import _identity_element, _local_suffix_scan
+from quattro_tpu.parallel.horizon import (
+    _identity_element,
+    _local_suffix_scan,
+    cross_device_exclusive_suffix,
+)
 
 
 def podscale_riccati_backward(
@@ -43,6 +47,7 @@ def podscale_riccati_backward(
     reg: float = 1e-6,
     batch_axis: str = "traj",
     horizon_axis: str = "horizon",
+    scan_mode: str = "tree",
 ) -> RiccatiResult:
     """Batched, horizon-partitioned backward Riccati over a 2D mesh.
 
@@ -84,30 +89,11 @@ def podscale_riccati_backward(
             lambda x: jnp.broadcast_to(x, (a_blk.shape[0],) + x.shape),
             _identity_element(n, dtype),
         )
-        perm = [(i, (i - 1) % num_h) for i in range(num_h)]
-
-        # lax.scan over hops: one combine instance in the graph (the unrolled
-        # ring dominated compile time, see parallel/horizon.py).
-        def hop_step(carry, hop):
-            acc_c, incoming_c = carry
-            shifted = jax.tree.map(
-                lambda x: jax.lax.ppermute(x, horizon_axis, perm), incoming_c
-            )
-            take = h_idx + hop <= num_h - 1
-            acc_c = jax.tree.map(
-                lambda new, old: jnp.where(take, new, old),
-                _combine(acc_c, shifted),
-                acc_c,
-            )
-            return (acc_c, shifted), None
-
-        # Mark the device-invariant identity init varying over both mesh axes
-        # so the scan carry type matches the per-device combined output.
         ident_v = jax.tree.map(
-            lambda x: jax.lax.pvary(x, (horizon_axis, batch_axis)), ident_b
+            lambda x: jax.lax.pvary(x, (batch_axis,)), ident_b
         )
-        (acc, _), _ = jax.lax.scan(
-            hop_step, (ident_v, block_elem), jnp.arange(1, num_h)
+        acc = cross_device_exclusive_suffix(
+            block_elem, horizon_axis, num_h, h_idx, ident_v, mode=scan_mode
         )
 
         combined = _combine(

@@ -156,3 +156,19 @@ def test_podscale_riccati_2d_mesh():
         np.testing.assert_allclose(
             np.asarray(pod.v_x_seq[i]), np.asarray(seq.v_x_seq), rtol=1e-3, atol=1e-5
         )
+
+
+def test_tree_and_ring_halo_schedules_agree():
+    """Recursive-doubling (tree) and linear-ring cross-device scans produce
+    the same boundary elements, and both match the sequential backward pass."""
+    mesh = make_mesh((1, 8))
+    n, m, horizon = 6, 2, 48
+    a, b, exp, v_x, v_xx = random_lq(jax.random.PRNGKey(11), n, m, horizon)
+    seq = riccati_backward(a, b, exp, v_x, v_xx)
+    tree = sharded_riccati_backward(mesh, a, b, exp, v_x, v_xx, scan_mode="tree")
+    ring = sharded_riccati_backward(mesh, a, b, exp, v_x, v_xx, scan_mode="ring")
+    np.testing.assert_allclose(np.asarray(tree.k_seq), np.asarray(ring.k_seq), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(tree.v_x_seq), np.asarray(ring.v_x_seq), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(tree.k_seq), np.asarray(seq.k_seq), rtol=1e-3, atol=1e-5)
+    with pytest.raises(ValueError):
+        sharded_riccati_backward(mesh, a, b, exp, v_x, v_xx, scan_mode="butterfly")
