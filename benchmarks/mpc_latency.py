@@ -43,7 +43,9 @@ def build(mode: str):
             prompt_len=pred.prompt_len,
         )
     else:
-        ctrl = make_quadrotor_mpc(horizon=50)
+        # parallel_riccati: associative-scan backward pass — wins at every
+        # single-trajectory horizon (docs/DESIGN.md §2; 4.4 -> 3.8 ms/step).
+        ctrl = make_quadrotor_mpc(horizon=50, parallel_riccati=True)
     return ctrl
 
 
