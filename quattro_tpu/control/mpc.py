@@ -78,6 +78,7 @@ def build_mpc(
     state_offset: Optional[jnp.ndarray] = None,
     lqr_matrices: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
     blend_epsilon: Tuple[float, float] = (0.5, 1.5),
+    exact_fallback: bool = False,
 ) -> MPCController:
     """Assemble and jit a control step for the requested mode."""
     if mode in ("hybrid", "blend") and predict_fn is not None and prompt_len is None:
@@ -103,6 +104,7 @@ def build_mpc(
             return hybrid_ilqr_solve(
                 dynamics, running_cost, final_cost, predict_fn, prompt_len,
                 x, u_warm, x_ref, config, state_offset,
+                exact_fallback=exact_fallback,
             )
         return ilqr_solve(dynamics, running_cost, final_cost, x, u_warm, config)
 
@@ -155,6 +157,7 @@ def make_cartpole_mpc(
     predict_fn: Optional[GainPredictFn] = None,
     prompt_len: Optional[int] = None,
     tol: float = 1e-1,
+    exact_fallback: bool = False,
     parallel_riccati: bool = False,
 ) -> MPCController:
     """Cart-pole MPC with the reference's cost tables (cartpole_mpc.py:187-191).
@@ -182,6 +185,7 @@ def make_cartpole_mpc(
     return build_mpc(
         dyn, cost, fcost, x_ref, horizon, 1, config, mode=mode,
         predict_fn=predict_fn, prompt_len=prompt_len, lqr_matrices=lqr_matrices,
+        exact_fallback=exact_fallback,
     )
 
 
@@ -195,6 +199,7 @@ def make_quadrotor_mpc(
     tol: float = 1e-3,
     parallel_riccati: bool = False,
     quad_params=None,
+    exact_fallback: bool = False,
 ) -> MPCController:
     """Quadrotor hover MPC with the reference's cost tables + softplus barrier
     (quadrotor_mpc.py:40-47) and hover state offset z=0.5 (:64-66)."""
@@ -214,4 +219,5 @@ def make_quadrotor_mpc(
     return build_mpc(
         dyn, cost, fcost, x_ref, horizon, 4, config, mode=mode,
         predict_fn=predict_fn, prompt_len=prompt_len, state_offset=state_offset,
+        exact_fallback=exact_fallback,
     )

@@ -284,6 +284,7 @@ def hybrid_ilqr_solve(
     x_ref: jnp.ndarray,
     config: ILQRConfig = ILQRConfig(),
     state_offset: Optional[jnp.ndarray] = None,
+    exact_fallback: bool = False,
 ) -> ILQRSolution:
     """Transformer-accelerated iLQR.
 
@@ -297,6 +298,17 @@ def hybrid_ilqr_solve(
     params + normalizer); it receives the state-error trajectory
     ``x_seq - x_ref + state_offset`` (H+1 rows, quattro_ilqr_tf.py:504) and the
     packed prompt, and returns DE-normalized gain tokens.
+
+    ``exact_fallback`` (an extension over the reference — OFF by default to
+    preserve its semantics): whenever a hybrid iteration would TERMINATE the
+    solve (every candidate rejected, or |ΔJ| < tol), the iteration is redone
+    with the exact full-horizon backward pass, and only an exact iteration
+    that also fails to improve ends the solve. "Accelerate when the model
+    helps, never converge to its mistakes": out-of-distribution predictions
+    otherwise either stall the solve or — worse — let it settle smoothly far
+    from the optimum (self-consistent wrong gains pass the |ΔJ| test).
+    Inherits pure-iLQR convergence at the cost of >= 1 exact iteration per
+    solve.
     """
     if state_offset is None:
         state_offset = jnp.zeros_like(x0)
@@ -342,8 +354,27 @@ def hybrid_ilqr_solve(
         found, _, new_x, new_u, new_cost, k_seq, big_k_seq = hybrid_iteration(
             x_seq, u_seq, current_cost
         )
-        done = jnp.logical_or(
+        would_stop = jnp.logical_or(
             jnp.logical_not(found), jnp.abs(current_cost - new_cost) < config.tol
+        )
+        if not exact_fallback:
+            return (new_x, new_u, new_cost, k_seq, big_k_seq, iteration + 1, would_stop)
+
+        def certify(_):
+            # Redo this iteration exactly; terminate only if IT cannot improve.
+            f2, _, nx2, nu2, nc2, k2, big_k2 = _ilqr_iteration(
+                dynamics, cost, final_cost, config, x0, x_seq, u_seq, current_cost
+            )
+            done2 = jnp.logical_or(
+                jnp.logical_not(f2), jnp.abs(current_cost - nc2) < config.tol
+            )
+            return nx2, nu2, nc2, k2, big_k2, done2
+
+        def keep(_):
+            return new_x, new_u, new_cost, k_seq, big_k_seq, jnp.asarray(False)
+
+        new_x, new_u, new_cost, k_seq, big_k_seq, done = jax.lax.cond(
+            would_stop, certify, keep, None
         )
         return (new_x, new_u, new_cost, k_seq, big_k_seq, iteration + 1, done)
 

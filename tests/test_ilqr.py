@@ -194,3 +194,40 @@ def test_adaptive_regularization_recovers():
     # Adaptive must never be worse, and both must be finite.
     assert np.isfinite(float(adaptive.cost)) and np.isfinite(float(fixed.cost))
     assert float(adaptive.cost) <= float(fixed.cost) * (1 + 1e-9)
+
+
+def test_hybrid_exact_fallback_recovers_from_bad_predictor():
+    """With a useless predictor the plain hybrid solve stalls far from the
+    optimum; exact_fallback certifies convergence with exact iterations and
+    must land at the pure-iLQR solution (solver/ilqr.py::hybrid_ilqr_solve)."""
+    from quattro_tpu.solver import (
+        ILQRConfig,
+        hybrid_ilqr_solve,
+        ilqr_solve,
+        make_quadratic_cost,
+        make_quadratic_final_cost,
+    )
+    from quattro_tpu.systems import cartpole_dynamics, make_discrete
+
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    x_ref = jnp.zeros(4)
+    cost = make_quadratic_cost(jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), x_ref)
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), x_ref)
+    x0 = jnp.array([0.3, 0.0, 0.4, 0.0])
+    u0 = jnp.zeros((30, 1))
+    config = ILQRConfig(tol=1e-6, max_iter=60)
+
+    def garbage_predict(x_err, prompt):
+        # Self-consistent nonsense: zero head gains every iteration.
+        return jnp.zeros((25, 5), dtype=x_err.dtype)
+
+    exact = ilqr_solve(dyn, cost, fcost, x0, u0, config)
+    stalled = hybrid_ilqr_solve(
+        dyn, cost, fcost, garbage_predict, 5, x0, u0, x_ref, config
+    )
+    rescued = hybrid_ilqr_solve(
+        dyn, cost, fcost, garbage_predict, 5, x0, u0, x_ref, config,
+        exact_fallback=True,
+    )
+    assert float(stalled.cost) > 1.2 * float(exact.cost)
+    np.testing.assert_allclose(float(rescued.cost), float(exact.cost), rtol=1e-3)
