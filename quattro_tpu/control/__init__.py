@@ -8,12 +8,19 @@ the per-step ``control_step`` is a single jitted function whose carried state
 """
 
 from quattro_tpu.control.switcher import blending_weight
-from quattro_tpu.control.mpc import MPCController, MPCState, make_cartpole_mpc, make_quadrotor_mpc
+from quattro_tpu.control.mpc import (
+    MPCController,
+    MPCState,
+    build_mpc,
+    make_cartpole_mpc,
+    make_quadrotor_mpc,
+)
 
 __all__ = [
     "blending_weight",
     "MPCController",
     "MPCState",
+    "build_mpc",
     "make_cartpole_mpc",
     "make_quadrotor_mpc",
 ]

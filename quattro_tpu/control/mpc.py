@@ -157,7 +157,7 @@ def make_cartpole_mpc(
     predict_fn: Optional[GainPredictFn] = None,
     prompt_len: Optional[int] = None,
     tol: float = 1e-1,
-    exact_fallback: bool = False,
+    exact_fallback: bool = True,
     parallel_riccati: bool = False,
 ) -> MPCController:
     """Cart-pole MPC with the reference's cost tables (cartpole_mpc.py:187-191).
@@ -199,7 +199,7 @@ def make_quadrotor_mpc(
     tol: float = 1e-3,
     parallel_riccati: bool = False,
     quad_params=None,
-    exact_fallback: bool = False,
+    exact_fallback: bool = True,
 ) -> MPCController:
     """Quadrotor hover MPC with the reference's cost tables + softplus barrier
     (quadrotor_mpc.py:40-47) and hover state offset z=0.5 (:64-66)."""

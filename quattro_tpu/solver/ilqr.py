@@ -368,7 +368,17 @@ def hybrid_ilqr_solve(
             done2 = jnp.logical_or(
                 jnp.logical_not(f2), jnp.abs(current_cost - nc2) < config.tol
             )
-            return nx2, nu2, nc2, k2, big_k2, done2
+            # Match the hybrid branch's dtypes (under x64, f64 cost tables can
+            # promote the exact path while predicted f32 gains keep the hybrid
+            # path narrow — lax.cond branches must agree).
+            return (
+                nx2.astype(new_x.dtype),
+                nu2.astype(new_u.dtype),
+                nc2.astype(new_cost.dtype),
+                k2.astype(k_seq.dtype),
+                big_k2.astype(big_k_seq.dtype),
+                done2,
+            )
 
         def keep(_):
             return new_x, new_u, new_cost, k_seq, big_k_seq, jnp.asarray(False)

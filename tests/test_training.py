@@ -6,6 +6,8 @@ MPC sweeps generate per-iteration gain rows; the transformer fits the
 solver.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -163,3 +165,44 @@ def test_checkpoint_resume(problem, dataset, tmp_path):
     )
     assert len(r2.train_loss_history) == 4, "resume should only run the remaining epochs"
     assert r2.train_loss_history[-1] < r1.train_loss_history[0]
+
+
+def test_shipped_checkpoints_stabilize_closed_loop():
+    """The in-repo trained checkpoints must drive the hybrid MPC (factory
+    defaults, exact_fallback on) to the target in closed loop — checkpoints
+    are artifacts, so this is the shipping bar (a checkpoint that only fits
+    its training distribution is not a controller)."""
+    import jax.numpy as jnp
+
+    from quattro_tpu.control import make_cartpole_mpc, make_quadrotor_mpc
+    from quattro_tpu.models import GainPredictor
+    from quattro_tpu.systems import cartpole_dynamics, make_discrete, quadrotor_dynamics
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "checkpoints")
+
+    pred = GainPredictor.load(os.path.join(root, "quadrotor_gain.npz"))
+    ctrl = make_quadrotor_mpc(
+        mode="hybrid", predict_fn=pred.predict_fn(), prompt_len=pred.prompt_len
+    )
+    plant = make_discrete(quadrotor_dynamics, 0.01, "rk4")
+    x = jnp.zeros(12).at[2].set(0.2).at[6].set(0.15)
+    x_ref = jnp.zeros(12).at[2].set(0.5)
+    state = ctrl.init_state(dtype=x.dtype)
+    for _ in range(300):
+        out = ctrl.step(x, state)
+        u, state = out[0], out[-1]
+        x = plant(x, u[0] if u.ndim == 2 else u)
+    assert float(jnp.linalg.norm(x - x_ref)) < 0.05
+
+    pred = GainPredictor.load(os.path.join(root, "cartpole_gain.npz"))
+    ctrl = make_cartpole_mpc(
+        mode="hybrid", predict_fn=pred.predict_fn(), prompt_len=pred.prompt_len
+    )
+    plant = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    x = jnp.array([0.15, 0.0, 0.2, 0.0])
+    state = ctrl.init_state(dtype=x.dtype)
+    for _ in range(700):
+        out = ctrl.step(x, state)
+        u, state = out[0], out[-1]
+        x = plant(x, u[0] if u.ndim == 2 else u)
+    assert float(jnp.linalg.norm(x)) < 0.05
