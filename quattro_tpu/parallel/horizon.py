@@ -40,6 +40,17 @@ from quattro_tpu.solver.riccati import (
 )
 
 
+def _pvary(x, axis):
+    """Mark a replicated value as axis-varying inside shard_map.
+
+    ``lax.pvary`` is deprecated in favor of ``lax.pcast(..., to='varying')``
+    (jax >= 0.9); dispatch on availability so both spellings work.
+    """
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis,), to="varying")
+    return jax.lax.pvary(x, (axis,))
+
+
 def _local_suffix_scan(elems: ValueElement) -> ValueElement:
     """Inclusive suffix scan of a local block of elements, via ``lax.scan``.
 
@@ -106,7 +117,7 @@ def cross_device_exclusive_suffix(
             )
             return (acc_c, shifted), None
 
-        ident_v = jax.tree.map(lambda x: jax.lax.pvary(x, (axis,)), ident)
+        ident_v = jax.tree.map(lambda x: _pvary(x, axis), ident)
         (acc, _), _ = jax.lax.scan(
             hop_step, (ident_v, block_elem), jnp.arange(1, num_shards)
         )
@@ -135,7 +146,7 @@ def cross_device_exclusive_suffix(
     # Exclusive: device d wants S_{d+1}; the last device gets the identity.
     perm1 = [(i, (i - 1) % num_shards) for i in range(num_shards)]
     shifted = jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm1), suffix)
-    ident_v = jax.tree.map(lambda x: jax.lax.pvary(x, (axis,)), ident)
+    ident_v = jax.tree.map(lambda x: _pvary(x, axis), ident)
     return jax.tree.map(
         lambda s, i: jnp.where(idx == num_shards - 1, i, s), shifted, ident_v
     )
