@@ -33,6 +33,7 @@ from quattro_tpu.solver.riccati import (
 from quattro_tpu.parallel.horizon import (
     _identity_element,
     _local_suffix_scan,
+    _pvary,
     cross_device_exclusive_suffix,
 )
 
@@ -89,9 +90,7 @@ def podscale_riccati_backward(
             lambda x: jnp.broadcast_to(x, (a_blk.shape[0],) + x.shape),
             _identity_element(n, dtype),
         )
-        ident_v = jax.tree.map(
-            lambda x: jax.lax.pvary(x, (batch_axis,)), ident_b
-        )
+        ident_v = jax.tree.map(lambda x: _pvary(x, batch_axis), ident_b)
         acc = cross_device_exclusive_suffix(
             block_elem, horizon_axis, num_h, h_idx, ident_v, mode=scan_mode
         )
