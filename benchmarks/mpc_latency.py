@@ -36,11 +36,17 @@ def build(mode: str):
     from quattro_tpu.control import make_quadrotor_mpc
     from quattro_tpu.models.torch_port import QUADROTOR_CHECKPOINT, load_torch_checkpoint
 
-    if mode == "hybrid":
+    if mode in ("hybrid", "hybrid_certified"):
+        # "hybrid" is the reference's raw semantics (exact_fallback=False) —
+        # the apples-to-apples config for the vs-reference comparison.
+        # "hybrid_certified" is our factory default (exact_fallback=True):
+        # every would-be termination is re-certified with an exact iteration,
+        # which costs roughly one extra exact backward pass per solve.
         pred = load_torch_checkpoint(QUADROTOR_CHECKPOINT)
         ctrl = make_quadrotor_mpc(
             horizon=50, mode="hybrid", predict_fn=pred.predict_fn(),
             prompt_len=pred.prompt_len,
+            exact_fallback=(mode == "hybrid_certified"),
         )
     else:
         # parallel_riccati: associative-scan backward pass — wins at every
@@ -99,7 +105,7 @@ def main():
     args = parser.parse_args()
 
     results = {"backend": jax.default_backend()}
-    for mode in ("ilqr", "hybrid"):
+    for mode in ("ilqr", "hybrid", "hybrid_certified"):
         host_in_loop, device = measure(build(mode))
         results[mode] = {
             "host_in_loop_ms_per_step": host_in_loop * 1e3,
