@@ -78,9 +78,18 @@ def build_mpc(
     state_offset: Optional[jnp.ndarray] = None,
     lqr_matrices: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
     blend_epsilon: Tuple[float, float] = (0.5, 1.5),
-    exact_fallback: bool = False,
+    exact_fallback: bool = True,
 ) -> MPCController:
-    """Assemble and jit a control step for the requested mode."""
+    """Assemble and jit a control step for the requested mode.
+
+    ``exact_fallback`` (default True, matching the factories): hybrid solves
+    are convergence-certified — a would-be-terminating iteration is redone
+    with the exact full-horizon backward pass (see ``hybrid_ilqr_solve``).
+    Pass False for the reference's raw hybrid semantics, or in ``blend`` mode
+    when per-step latency matters more: near the setpoint blend discards the
+    hybrid solution for pure LQR, so the certification's extra exact backward
+    pass there buys nothing.
+    """
     if mode in ("hybrid", "blend") and predict_fn is not None and prompt_len is None:
         raise ValueError("prompt_len is required when a predictor is supplied")
 

@@ -349,6 +349,30 @@ def hybrid_ilqr_solve(
         _, _, _, _, _, iteration, done = state
         return jnp.logical_and(iteration < config.max_iter, jnp.logical_not(done))
 
+    # Both lax.cond branches (hybrid iteration vs exact fallback iteration)
+    # must carry identical dtypes, but mixed precision can split them (e.g.
+    # f64 cost tables promote the exact path while predicted f32 gains keep
+    # the hybrid path narrow). Promote BOTH branches to the wider dtype of
+    # the pair — truncating the exact branch down would quantize the cost the
+    # certification's |dJ| test runs against and could flip near-tol
+    # termination decisions. Dtypes are resolved at trace time via eval_shape.
+    if exact_fallback:
+        hyb_s = jax.eval_shape(hybrid_iteration, x_init, u_init, cost_init)
+        ex_s = jax.eval_shape(
+            lambda xs, us, c: _ilqr_iteration(
+                dynamics, cost, final_cost, config, x0, xs, us, c
+            ),
+            x_init, u_init, cost_init,
+        )
+        # Output order: found, alpha, new_x, new_u, new_cost, k, big_k.
+        carry_dt = tuple(
+            jnp.promote_types(h.dtype, e.dtype)
+            for h, e in zip(hyb_s[2:7], ex_s[2:7])
+        )
+    else:
+        carry_dt = (x_init.dtype, u_init.dtype, cost_init.dtype,
+                    u_init.dtype, u_init.dtype)
+
     def body(state):
         x_seq, u_seq, current_cost, _, _, iteration, _ = state
         found, _, new_x, new_u, new_cost, k_seq, big_k_seq = hybrid_iteration(
@@ -368,29 +392,41 @@ def hybrid_ilqr_solve(
             done2 = jnp.logical_or(
                 jnp.logical_not(f2), jnp.abs(current_cost - nc2) < config.tol
             )
-            # Match the hybrid branch's dtypes (under x64, f64 cost tables can
-            # promote the exact path while predicted f32 gains keep the hybrid
-            # path narrow — lax.cond branches must agree).
             return (
-                nx2.astype(new_x.dtype),
-                nu2.astype(new_u.dtype),
-                nc2.astype(new_cost.dtype),
-                k2.astype(k_seq.dtype),
-                big_k2.astype(big_k_seq.dtype),
+                nx2.astype(carry_dt[0]),
+                nu2.astype(carry_dt[1]),
+                nc2.astype(carry_dt[2]),
+                k2.astype(carry_dt[3]),
+                big_k2.astype(carry_dt[4]),
                 done2,
             )
 
         def keep(_):
-            return new_x, new_u, new_cost, k_seq, big_k_seq, jnp.asarray(False)
+            return (
+                new_x.astype(carry_dt[0]),
+                new_u.astype(carry_dt[1]),
+                new_cost.astype(carry_dt[2]),
+                k_seq.astype(carry_dt[3]),
+                big_k_seq.astype(carry_dt[4]),
+                jnp.asarray(False),
+            )
 
         new_x, new_u, new_cost, k_seq, big_k_seq, done = jax.lax.cond(
             would_stop, certify, keep, None
         )
         return (new_x, new_u, new_cost, k_seq, big_k_seq, iteration + 1, done)
 
-    zeros_k = jnp.zeros((horizon, m), dtype=u_init.dtype)
-    zeros_big_k = jnp.zeros((horizon, m, n), dtype=u_init.dtype)
-    init = (x_init, u_init, cost_init, zeros_k, zeros_big_k, jnp.asarray(0), jnp.asarray(False))
+    zeros_k = jnp.zeros((horizon, m), dtype=carry_dt[3])
+    zeros_big_k = jnp.zeros((horizon, m, n), dtype=carry_dt[4])
+    init = (
+        x_init.astype(carry_dt[0]),
+        u_init.astype(carry_dt[1]),
+        cost_init.astype(carry_dt[2]),
+        zeros_k,
+        zeros_big_k,
+        jnp.asarray(0),
+        jnp.asarray(False),
+    )
     x_seq, u_seq, cost_val, k_seq, big_k_seq, iterations, done = jax.lax.while_loop(
         cond, body, init
     )
