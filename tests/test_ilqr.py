@@ -231,3 +231,42 @@ def test_hybrid_exact_fallback_recovers_from_bad_predictor():
     )
     assert float(stalled.cost) > 1.2 * float(exact.cost)
     np.testing.assert_allclose(float(rescued.cost), float(exact.cost), rtol=1e-3)
+
+
+def test_hybrid_exact_fallback_keeps_wide_dtype():
+    """Mixed precision: with f64 problem data and an f32 predictor, the
+    certified solve must carry trajectories/cost at the WIDER dtype — the
+    certification's |dJ| test loses meaning if the exact iteration's cost is
+    truncated to f32 (solver/ilqr.py carry-dtype promotion)."""
+    from quattro_tpu.solver import (
+        ILQRConfig,
+        hybrid_ilqr_solve,
+        make_quadratic_cost,
+        make_quadratic_final_cost,
+    )
+    from quattro_tpu.systems import cartpole_dynamics, make_discrete
+
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    x_ref = jnp.zeros(4, dtype=jnp.float64)
+    cost = make_quadratic_cost(
+        jnp.array([5.0, 0.1, 10.0, 0.1], dtype=jnp.float64),
+        jnp.array([0.001], dtype=jnp.float64),
+        x_ref,
+    )
+    fcost = make_quadratic_final_cost(
+        jnp.array([50.0, 6.0, 100.0, 0.1], dtype=jnp.float64), x_ref
+    )
+    x0 = jnp.array([0.3, 0.0, 0.4, 0.0], dtype=jnp.float64)
+    u0 = jnp.zeros((30, 1), dtype=jnp.float64)
+
+    def f32_predict(x_err, prompt):
+        return jnp.zeros((25, 5), dtype=jnp.float32)
+
+    sol = hybrid_ilqr_solve(
+        dyn, cost, fcost, f32_predict, 5, x0, u0, x_ref,
+        ILQRConfig(tol=1e-6, max_iter=20), exact_fallback=True,
+    )
+    assert sol.cost.dtype == jnp.float64
+    assert sol.x_seq.dtype == jnp.float64
+    assert sol.u_seq.dtype == jnp.float64
+    assert bool(sol.converged)
