@@ -167,12 +167,17 @@ def make_cartpole_mpc(
     prompt_len: Optional[int] = None,
     tol: float = 1e-1,
     exact_fallback: bool = True,
-    parallel_riccati: bool = False,
+    parallel_riccati: bool = True,
 ) -> MPCController:
     """Cart-pole MPC with the reference's cost tables (cartpole_mpc.py:187-191).
 
     LQR fallback uses the simplified analytic linearization discretized as
     ``A_d = I + dt A, B_d = dt B`` (cartpole_mpc.py:271-285).
+
+    ``parallel_riccati`` defaults True: the MPC factories build
+    single-trajectory latency-mode controllers, where the associative-scan
+    backward pass wins at every horizon on TPU (docs/DESIGN.md §2 crossover
+    table); pass False only for batched/vmapped use.
     """
     from quattro_tpu.systems.cartpole import CartPoleParams, cartpole_dynamics, cartpole_linearized
     from quattro_tpu.systems.integrators import make_discrete
@@ -206,12 +211,15 @@ def make_quadrotor_mpc(
     predict_fn: Optional[GainPredictFn] = None,
     prompt_len: Optional[int] = None,
     tol: float = 1e-3,
-    parallel_riccati: bool = False,
+    parallel_riccati: bool = True,
     quad_params=None,
     exact_fallback: bool = True,
 ) -> MPCController:
     """Quadrotor hover MPC with the reference's cost tables + softplus barrier
-    (quadrotor_mpc.py:40-47) and hover state offset z=0.5 (:64-66)."""
+    (quadrotor_mpc.py:40-47) and hover state offset z=0.5 (:64-66).
+
+    ``parallel_riccati`` defaults True (latency-mode associative scan; see
+    ``make_cartpole_mpc``)."""
     from quattro_tpu.systems.quadrotor import QuadrotorParams, quadrotor_dynamics
     from quattro_tpu.systems.integrators import make_discrete
 
