@@ -41,10 +41,12 @@ def build_problem():
 
     # Same forced-iteration count as the baseline measurement (tol=0 disables
     # the |dJ| early exit; 6 iterations as measured for the reference).
-    # parallel_riccati: the associative-scan backward pass wins at every
+    # riccati="assoc": the associative-scan backward pass wins at every
     # single-trajectory horizon on TPU (432 -> 641 iter/s here; see
     # benchmarks/results_tpu.json and docs/DESIGN.md §2 crossover table).
-    config = ILQRConfig(tol=0.0, max_iter=6, parallel_riccati=True)
+    # The default "auto" resolves to the same form at this shape; pinned
+    # explicitly so the headline metric can't shift under dispatch changes.
+    config = ILQRConfig(tol=0.0, max_iter=6, riccati="assoc")
     x0 = jnp.zeros(12).at[2].set(0.2).at[6].set(0.1)
     u0 = jnp.zeros((horizon, 4))
 

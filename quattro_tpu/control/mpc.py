@@ -167,17 +167,21 @@ def make_cartpole_mpc(
     prompt_len: Optional[int] = None,
     tol: float = 1e-1,
     exact_fallback: bool = True,
-    parallel_riccati: bool = True,
+    riccati: str = "auto",
+    parallel_riccati: Optional[bool] = None,
 ) -> MPCController:
     """Cart-pole MPC with the reference's cost tables (cartpole_mpc.py:187-191).
 
     LQR fallback uses the simplified analytic linearization discretized as
     ``A_d = I + dt A, B_d = dt B`` (cartpole_mpc.py:271-285).
 
-    ``parallel_riccati`` defaults True: the MPC factories build
-    single-trajectory latency-mode controllers, where the associative-scan
-    backward pass wins at every horizon on TPU (docs/DESIGN.md §2 crossover
-    table); pass False only for batched/vmapped use.
+    ``riccati`` defaults ``"auto"``: the factories build single-trajectory
+    latency-mode controllers, where the auto dispatch resolves to the
+    associative-scan backward pass (wins at every horizon on TPU —
+    docs/DESIGN.md §2 crossover table). If you vmap a factory-built
+    controller, pass ``riccati="seq"`` (or build via ``batched_ilqr_solve``,
+    which injects the batch hint itself). ``parallel_riccati`` is the legacy
+    boolean override.
     """
     from quattro_tpu.systems.cartpole import CartPoleParams, cartpole_dynamics, cartpole_linearized
     from quattro_tpu.systems.integrators import make_discrete
@@ -195,7 +199,7 @@ def make_cartpole_mpc(
         b_d = dt * b_c
         lqr_matrices = (a_d, b_d, jnp.diag(jnp.array([1.0, 0.1, 10.0, 0.1])), jnp.diag(jnp.array([0.001])))
 
-    config = ILQRConfig(tol=tol, parallel_riccati=parallel_riccati)
+    config = ILQRConfig(tol=tol, riccati=riccati, parallel_riccati=parallel_riccati)
     return build_mpc(
         dyn, cost, fcost, x_ref, horizon, 1, config, mode=mode,
         predict_fn=predict_fn, prompt_len=prompt_len, lqr_matrices=lqr_matrices,
@@ -211,15 +215,17 @@ def make_quadrotor_mpc(
     predict_fn: Optional[GainPredictFn] = None,
     prompt_len: Optional[int] = None,
     tol: float = 1e-3,
-    parallel_riccati: bool = True,
+    riccati: str = "auto",
+    parallel_riccati: Optional[bool] = None,
     quad_params=None,
     exact_fallback: bool = True,
 ) -> MPCController:
     """Quadrotor hover MPC with the reference's cost tables + softplus barrier
     (quadrotor_mpc.py:40-47) and hover state offset z=0.5 (:64-66).
 
-    ``parallel_riccati`` defaults True (latency-mode associative scan; see
-    ``make_cartpole_mpc``)."""
+    ``riccati`` defaults ``"auto"`` (resolves to the latency-mode associative
+    scan for these single-trajectory controllers; see ``make_cartpole_mpc``).
+    """
     from quattro_tpu.systems.quadrotor import QuadrotorParams, quadrotor_dynamics
     from quattro_tpu.systems.integrators import make_discrete
 
@@ -232,7 +238,7 @@ def make_quadrotor_mpc(
     fcost = make_quadratic_final_cost(qf, x_ref)
 
     state_offset = jnp.zeros(12).at[2].set(0.5)
-    config = ILQRConfig(tol=tol, parallel_riccati=parallel_riccati)
+    config = ILQRConfig(tol=tol, riccati=riccati, parallel_riccati=parallel_riccati)
     return build_mpc(
         dyn, cost, fcost, x_ref, horizon, 4, config, mode=mode,
         predict_fn=predict_fn, prompt_len=prompt_len, state_offset=state_offset,

@@ -253,7 +253,15 @@ class ShardWriter:
 
 
 def index_shard(path: str):
-    """Return (offsets, lengths) of every valid record's payload."""
+    """Return (offsets, lengths) of every valid record's payload.
+
+    Raises ``FileNotFoundError`` for a missing file on BOTH backends (the
+    native scanner only reports a generic open failure, which would surface
+    as ``ValueError`` while the pure-Python fallback raises from ``open()``);
+    ``ValueError`` is reserved for bad magic / unreadable shards.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
     lib = _load_native()
     if lib is None:
         return _py_index(path)
@@ -335,6 +343,11 @@ def merge_shards(dst: str, sources: Sequence[str], missing_ok: bool = True) -> i
             if missing_ok:
                 continue
             raise FileNotFoundError(src)
+        if os.path.exists(dst) and os.path.samefile(dst, src):
+            # Merging a shard onto itself would silently self-concatenate
+            # (the index is taken before appending, so it terminates — with
+            # every record duplicated).
+            raise ValueError(f"merge_shards: source {src!r} is the destination")
         if lib is not None:
             n = lib.qtshard_merge(dst.encode(), src.encode())
             if n < 0:

@@ -116,7 +116,9 @@ def btd_matvec_pallas(mat: BlockTridiagonal, x: jnp.ndarray, interpret: bool = F
     # per-block layout would pad its 3n=36-wide lane dim to 128 on TPU (3.5x
     # VMEM/HBM inflation — the first version OOMed scoped VMEM). Each output
     # row i is an unrolled multiply-accumulate over the 3n stacked columns.
-    tile = min(2048, max(128, num_blocks))
+    # Round the tile up to a lane-aligned multiple of 128 (the padding path
+    # below already handles num_blocks % tile != 0).
+    tile = min(2048, ((max(128, num_blocks) + 127) // 128) * 128)
     padded = ((num_blocks + tile - 1) // tile) * tile
     if padded != num_blocks:
         pad = padded - num_blocks

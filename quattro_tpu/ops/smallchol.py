@@ -132,8 +132,11 @@ def batched_cholesky_solve_pallas(
     r = b.shape[-1]
 
     # Tile the lane (batch) axis; pad to a full multiple so every grid step
-    # sees a static block. 2048 lanes x (16+52+52) rows x 4 B ~= 1 MB VMEM per buffer (double-buffered pipeline on top).
-    tile = min(2048, max(128, batch))
+    # sees a static block. 2048 lanes x (16+52+52) rows x 4 B ~= 1 MB VMEM per
+    # buffer (double-buffered pipeline on top). The tile is rounded up to a
+    # multiple of 128 so lane tiles are always register-aligned — Mosaic's
+    # unaligned-lane lowering is otherwise unexercised on hardware.
+    tile = min(2048, ((max(128, batch) + 127) // 128) * 128)
     padded = ((batch + tile - 1) // tile) * tile
     if padded != batch:
         pad = padded - batch

@@ -15,6 +15,7 @@ from quattro_tpu.parallel.mesh import make_mesh, traj_sharding
 from quattro_tpu.parallel.batch import batched_ilqr_solve, sharded_ilqr_solve
 from quattro_tpu.parallel.horizon import sharded_suffix_value_functions, sharded_riccati_backward
 from quattro_tpu.parallel.podscale import podscale_riccati_backward
+from quattro_tpu.parallel import distributed
 
 __all__ = [
     "make_mesh",
@@ -24,4 +25,5 @@ __all__ = [
     "sharded_suffix_value_functions",
     "sharded_riccati_backward",
     "podscale_riccati_backward",
+    "distributed",
 ]

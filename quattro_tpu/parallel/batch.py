@@ -33,7 +33,14 @@ def batched_ilqr_solve(
     per-element ``while_loop``? No — vmap of while_loop runs until ALL lanes
     converge, masking finished lanes. That is exactly the right behavior on
     SIMD hardware: wall-clock = slowest problem, throughput = batch size.
+
+    When ``config.riccati == "auto"`` (the default) the real batch width is
+    injected as the dispatch hint, so the vmapped solve picks the sequential
+    backward pass in the batched regime (the associative combine costs ~12x
+    a plain Riccati step once the batch axis fills the MXU).
     """
+    if config.parallel_riccati is None and config.riccati == "auto":
+        config = config._replace(batch_hint=max(config.batch_hint, x0_batch.shape[0]))
     solve = partial(ilqr_solve, dynamics, cost, final_cost, config=config)
     return jax.vmap(solve)(x0_batch, u_init_batch)
 

@@ -124,6 +124,17 @@ class QuadrotorBridge:
             for i in (1, 2, 3, 4)
         ]
 
+        # IMU sensor addresses (quadrotor_wrapper.py:33-39): gyro / linear
+        # accelerometer / body-frame quaternion, resolved once at load.
+        self._sensor_adr = {}
+        for key, name, dim in (
+            ("gyro", "body_gyro", 3),
+            ("accel", "body_linacc", 3),
+            ("quat", "body_quat", 4),
+        ):
+            sid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_SENSOR, name)
+            self._sensor_adr[key] = (int(self.model.sensor_adr[sid]), dim)
+
     @property
     def timestep(self) -> float:
         return float(self.model.opt.timestep)
@@ -162,6 +173,16 @@ class QuadrotorBridge:
         state[6:9] = quat_to_rpy(*self.data.qpos[3:7])
         state[9:12] = self.data.qvel[3:6]
         return state
+
+    def read_sensors(self) -> dict:
+        """IMU readings {gyro (3,), accel (3,), quat (4,)} from sensordata —
+        the sensor-based state-estimation capability of the reference wrapper
+        (quadrotor_wrapper.py:107-130). ``read_state`` reads qpos/qvel ground
+        truth; this is the noisy-sensor alternative for estimator work."""
+        return {
+            key: np.array(self.data.sensordata[adr : adr + dim])
+            for key, (adr, dim) in self._sensor_adr.items()
+        }
 
     def apply_thrusts(self, thrusts: np.ndarray) -> None:
         """Per-rotor assignment to the named actuators (quadrotor_sim.py:204-207)."""

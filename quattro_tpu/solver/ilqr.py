@@ -27,9 +27,12 @@ from quattro_tpu.solver.derivatives import (
     quadratize_cost,
     quadratize_final_cost,
 )
+from functools import partial
+
 from quattro_tpu.solver.riccati import (
     riccati_backward,
     riccati_backward_associative,
+    riccati_backward_auto,
 )
 from quattro_tpu.solver.rollout import (
     DEFAULT_ALPHAS,
@@ -49,8 +52,23 @@ class ILQRConfig(NamedTuple):
     """Solver configuration (static under jit).
 
     Defaults mirror the reference constructor (quattro_ilqr_tf.py:74-76).
-    ``parallel_riccati`` selects the associative-scan backward pass
-    (O(log H) depth) over the sequential scan.
+
+    ``riccati`` selects the backward-pass form:
+
+    - ``"auto"`` (default): dispatch on the workload shape via
+      ``riccati_backward_auto`` — the associative scan for single-trajectory
+      latency (its O(log H) depth wins at every measured horizon), the
+      vmapped sequential scan for batched throughput (``batch_hint`` >= 8,
+      where the batch axis already fills the MXU and each associative
+      combine costs ~12x a plain Riccati step — docs/DESIGN.md §2).
+    - ``"seq"`` / ``"assoc"``: force one form.
+
+    ``batch_hint`` is the trajectory-batch width the solve will be vmapped
+    over (static under jit; the solver cannot see an enclosing vmap).
+    ``batched_ilqr_solve`` fills it in automatically.
+
+    ``parallel_riccati`` is the legacy boolean override (True = assoc,
+    False = seq); ``None`` defers to ``riccati``.
 
     ``adaptive_reg`` enables a Levenberg-Marquardt mu-schedule on the Q_uu
     regularizer — a robustness upgrade over the reference's fixed 1e-6 +
@@ -64,11 +82,13 @@ class ILQRConfig(NamedTuple):
     tol: float = 1e-3
     reg: float = 1e-6
     alphas: Tuple[float, ...] = DEFAULT_ALPHAS
-    parallel_riccati: bool = False
+    parallel_riccati: Optional[bool] = None
     adaptive_reg: bool = False
     reg_factor: float = 10.0
     reg_max: float = 1e2
     chol_solve: bool = True  # unrolled small-matrix Cholesky for Q_uu solves
+    riccati: str = "auto"  # "auto" | "seq" | "assoc"
+    batch_hint: int = 1
 
 
 class ILQRSolution(NamedTuple):
@@ -101,7 +121,15 @@ class ILQRLogs(NamedTuple):
 
 
 def _backward(config: ILQRConfig):
-    return riccati_backward_associative if config.parallel_riccati else riccati_backward
+    if config.parallel_riccati is not None:  # legacy boolean override
+        return riccati_backward_associative if config.parallel_riccati else riccati_backward
+    if config.riccati == "seq":
+        return riccati_backward
+    if config.riccati == "assoc":
+        return riccati_backward_associative
+    if config.riccati == "auto":
+        return partial(riccati_backward_auto, batch_size=config.batch_hint)
+    raise ValueError(f"Unknown riccati mode: {config.riccati!r} (auto|seq|assoc)")
 
 
 def _ilqr_iteration(

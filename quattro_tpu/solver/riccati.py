@@ -163,9 +163,13 @@ def _combine(earlier: ValueElement, later: ValueElement) -> ValueElement:
     (I + C1 J2)^{-1} and its transpose (I + J2 C1)^{-1}, equal by symmetry of
     C and J — come from ONE unrolled LU factorization
     (``ops/smalllu.py``; XLA's pivoting batched LU is 2.5-5x slower on TPU
-    for these n <= 16 blocks, benchmarks/results_tpu.json). No pivoting is
-    safe: spec(I + C1 J2) = 1 + eig(C1^{1/2} J2 C1^{1/2}) >= 1 for PSD C, J
-    (accuracy vs pivoted LU pinned in tests/test_ops.py).
+    for these n <= 16 blocks, benchmarks/results_tpu.json). Skipping pivoting
+    is empirically validated rather than proved: spec(I + C1 J2) =
+    1 + eig(C1^{1/2} J2 C1^{1/2}) >= 1 bounds the eigenvalues for PSD C, J,
+    which is well-conditioned in practice but does not bound no-pivot LU
+    pivot growth for this nonsymmetric product; the guard is the pinned
+    accuracy-vs-pivoted-LU parity tests (tests/test_ops.py) and the golden
+    solve tests on both flagship systems.
     """
     a1, b1, c1, eta1, j1 = earlier
     a2, b2, c2, eta2, j2 = later

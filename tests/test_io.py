@@ -114,6 +114,24 @@ def test_bad_magic_raises(tmp_path):
         index_shard(path)
 
 
+def test_missing_file_raises_filenotfound(tmp_path):
+    """Error types must not depend on which backend is active: a missing file
+    is FileNotFoundError on both (ADVICE r1); ValueError stays reserved for
+    bad magic/corruption."""
+    with pytest.raises(FileNotFoundError):
+        index_shard(str(tmp_path / "nope.qtshard"))
+
+
+def test_merge_onto_self_raises(tmp_path):
+    p = str(tmp_path / "self.qtshard")
+    with ShardWriter(p) as w:
+        for r in _sample_records(2):
+            w.append(r)
+    with pytest.raises(ValueError):
+        merge_shards(p, [p])
+    assert len(read_shard(p)) == 2  # untouched, not self-concatenated
+
+
 def test_merge_shards(tmp_path):
     srcs = []
     all_recs = []

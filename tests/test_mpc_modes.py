@@ -1,0 +1,129 @@
+"""MPC mode tests: lqr gain, blend cutoff semantics, hybrid closed loop.
+
+Closes VERDICT r1 weak #7 (and missing #2): the reference's lqr and blend
+control paths (examples/cartpole/cartpole_mpc.py:287-359) and the flagship
+hybrid-MPC-drives-MuJoCo path (cartpole_sim.py:194-221) had no automated
+coverage.
+"""
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quattro_tpu.control import make_cartpole_mpc
+from quattro_tpu.control.switcher import blending_weight
+
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, "/root/reference/examples/cartpole")
+
+
+def test_lqr_mode_matches_scipy_dare_gain():
+    """`mode="lqr"` applies +K(x - x_ref) with K from the DARE — oracled
+    against scipy.solve_discrete_are, the reference's own route
+    (cartpole_mpc.py:287-301; the applied control is the reference
+    control_step's `-compute_linear_lqr_control`, :321-323)."""
+    from scipy.linalg import solve_discrete_are
+
+    from quattro_tpu.systems.cartpole import CartPoleParams, cartpole_linearized
+
+    controller = make_cartpole_mpc(mode="lqr")
+    state = controller.init_state()
+
+    dt = 0.01
+    a_c, b_c = (np.asarray(m) for m in cartpole_linearized(CartPoleParams()))
+    a_d = np.eye(4) + dt * a_c
+    b_d = dt * b_c
+    q = np.diag([1.0, 0.1, 10.0, 0.1])
+    r = np.diag([0.001])
+    p = solve_discrete_are(a_d, b_d, q, r)
+    k = np.linalg.inv(r + b_d.T @ p @ b_d) @ (b_d.T @ p @ a_d)
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        x = rng.normal(scale=0.3, size=4)
+        u, _, state = controller.step(jnp.asarray(x), state)
+        np.testing.assert_allclose(np.asarray(u), k @ x, rtol=1e-6, atol=1e-9)
+
+
+def test_blending_weight_matches_reference_switcher():
+    """`blending_weight` reproduces ControllerSwitcher.get_blending_weight
+    (cartpole_mpc.py:85-100) over the full ramp, including both saturation
+    regions and the exact thresholds."""
+    from cartpole_mpc import ControllerSwitcher
+
+    rng = np.random.default_rng(1)
+    errors = [rng.normal(scale=s, size=4) for s in (0.05, 0.2, 0.5, 1.0, 2.0)]
+    # Exact-threshold norms too.
+    errors += [np.array([0.5, 0.0, 0.0, 0.0]), np.array([1.5, 0.0, 0.0, 0.0])]
+    for err in errors:
+        switcher = ControllerSwitcher(epsilon_low=0.5, epsilon_high=1.5)
+        switcher.update_error(err)
+        want = switcher.get_blending_weight(dt=0.01)
+        got = float(blending_weight(jnp.asarray(err), 0.5, 1.5))
+        assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_blend_mode_cutoff_semantics():
+    """The three blend regimes (cartpole_mpc.py:334-359): w<=0.05 -> pure
+    LQR; w>=0.95 -> pure primary; in between -> w-weighted mix."""
+    blend = make_cartpole_mpc(mode="blend")
+    ilqr = make_cartpole_mpc(mode="ilqr")
+    lqr = make_cartpole_mpc(mode="lqr")
+
+    def controls(x):
+        x = jnp.asarray(x)
+        u_b, _, _ = blend.step(x, blend.init_state(dtype=x.dtype))
+        u_i, _, _ = ilqr.step(x, ilqr.init_state(dtype=x.dtype))
+        u_l, _, _ = lqr.step(x, lqr.init_state(dtype=x.dtype))
+        return (np.asarray(u_b), np.asarray(u_i), np.asarray(u_l))
+
+    # ||e|| = 0.036 -> w = 0: full LQR, iLQR result discarded.
+    u_b, u_i, u_l = controls(np.array([0.02, 0.0, 0.03, 0.0]))
+    np.testing.assert_allclose(u_b, u_l, atol=1e-10)
+    assert not np.allclose(u_b, u_i, atol=1e-6)
+
+    # ||e|| ~= 1.56 -> w = 1: full primary.
+    u_b, u_i, u_l = controls(np.array([1.0, 0.0, 1.2, 0.0]))
+    np.testing.assert_allclose(u_b, u_i, atol=1e-10)
+    assert not np.allclose(u_b, u_l, atol=1e-6)
+
+    # ||e|| = 1.0 -> w = 0.5: mix.
+    x_mid = np.array([0.6, 0.0, 0.8, 0.0])
+    u_b, u_i, u_l = controls(x_mid)
+    w = float(blending_weight(jnp.asarray(x_mid), 0.5, 1.5))
+    assert 0.05 < w < 0.95
+    np.testing.assert_allclose(u_b, w * u_i + (1.0 - w) * u_l, atol=1e-8)
+
+
+def test_hybrid_mujoco_closed_loop():
+    """The flagship path (cartpole_sim.py:194-221): hybrid transformer-iLQR
+    MPC with the PORTED reference checkpoint drives the mismatched MuJoCo
+    plant closed loop. Learned head gains are approximate, so convergence is
+    slower than pure iLQR (see .claude/skills/verify) — the bar is
+    stabilization, not speed."""
+    pytest.importorskip("mujoco")
+    from quattro_tpu.models.torch_port import CARTPOLE_CHECKPOINT, load_torch_checkpoint
+    from quattro_tpu.sim import CartPoleBridge
+
+    pred = load_torch_checkpoint(CARTPOLE_CHECKPOINT)
+    controller = make_cartpole_mpc(
+        mode="hybrid", predict_fn=pred.predict_fn(), prompt_len=pred.prompt_len
+    )
+    state = controller.init_state()
+    plant = CartPoleBridge()
+    plant.reset(position=0.0, angle=0.2)
+
+    norms = []
+    for _ in range(1200):
+        x = plant.read_state()
+        u, _, state = controller.step(jnp.asarray(x, dtype=jnp.float32), state)
+        plant.apply_control(float(np.asarray(u)[0]))
+        plant.step()
+        norms.append(float(np.linalg.norm(plant.read_state())))
+
+    final = plant.read_state()
+    assert np.linalg.norm(final) < 0.1, f"hybrid did not stabilize: {final}"
+    # And it was a controlled decay, not a lucky endpoint.
+    assert max(norms[-100:]) < 0.15

@@ -43,6 +43,36 @@ def test_cartpole_bridge_stabilizes():
     assert np.linalg.norm(final) < 0.1, f"did not stabilize: {final}"
 
 
+def test_quadrotor_bridge_sensor_accessors():
+    """IMU readers (gyro/accel/quat) — parity with quadrotor_wrapper.py:107-130.
+
+    After mj_forward at rest, the body-frame quat sensor must agree with the
+    free-joint quaternion and the accelerometer must read ~ +g on its z axis
+    (reaction to gravity); gyro reads the zero body rates."""
+    plant = QuadrotorBridge()
+    rpy = (0.12, -0.08, 0.3)
+    plant.reset(position=(0.0, 0.0, 0.5), rpy=rpy)
+    mujoco.mj_forward(plant.model, plant.data)
+
+    sensors = plant.read_sensors()
+    assert set(sensors) == {"gyro", "accel", "quat"}
+    quat = sensors["quat"] * np.sign(sensors["quat"][0])
+    np.testing.assert_allclose(quat, euler_to_quat(*rpy), atol=1e-9)
+    np.testing.assert_allclose(sensors["gyro"], 0.0, atol=1e-12)
+    # A free-floating body with zero thrust is in free fall: the accelerometer
+    # (specific force) reads ~0 there.
+    assert np.linalg.norm(sensors["accel"]) < 1e-9
+
+    # Under ~hover thrust the rotors support the weight: specific force ~= g
+    # along the body z axis.
+    plant.reset(position=(0.0, 0.0, 0.5), rpy=(0.0, 0.0, 0.0))
+    plant.apply_thrusts(np.full(4, plant.mass * 9.81 / 4.0))
+    for _ in range(5):
+        plant.step()
+    accel = plant.read_sensors()["accel"]
+    assert accel[2] == pytest.approx(9.81, rel=0.05)
+
+
 def test_quadrotor_bridge_measured_params_and_hover():
     plant = QuadrotorBridge()
     params = plant.solver_params()
