@@ -82,8 +82,40 @@ def _time_pipelined(fn, args, repeats=20, warmup=1):
     return (time.perf_counter() - start) / repeats
 
 
-def bench_riccati_blocknnz():
+def random_lq_problem(batch, horizon, n, m, key=None, dtype=jnp.float32):
+    """Random well-conditioned LQ problem data (shared with scaling.py).
+
+    Returns (a, b, CostExpansion, v_x, v_xx); leading dims are
+    (batch, horizon) when batch > 1, else (horizon,).
+    """
     from quattro_tpu.solver.derivatives import CostExpansion
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    ks = jax.random.split(key, 8)
+    shape = (batch, horizon) if batch > 1 else (horizon,)
+    a = jnp.eye(n, dtype=dtype) + 0.01 * jax.random.normal(ks[0], (*shape, n, n), dtype)
+    b = 0.05 * jax.random.normal(ks[1], (*shape, n, m), dtype)
+    w = jax.random.normal(ks[2], (*shape, n, n), dtype)
+    exp = CostExpansion(
+        l_x=jax.random.normal(ks[3], (*shape, n), dtype),
+        l_u=jax.random.normal(ks[4], (*shape, m), dtype),
+        l_xx=0.1 * jnp.einsum("...ij,...kj->...ik", w, w) + 0.1 * jnp.eye(n, dtype=dtype),
+        l_uu=jnp.broadcast_to(jnp.eye(m, dtype=dtype), (*shape, m, m)),
+        l_ux=0.01 * jax.random.normal(ks[5], (*shape, m, n), dtype),
+    )
+    v_x = jax.random.normal(ks[6], (n,), dtype)
+    wf = jax.random.normal(ks[7], (n, n), dtype)
+    v_xx = wf @ wf.T + jnp.eye(n, dtype=dtype)
+    return a, b, exp, v_x, v_xx
+
+
+def block_nnz(batch, horizon):
+    """Block-tridiagonal nonzero blocks of the trajectory KKT factorization:
+    H diagonal + 2(H-1) off-diagonal blocks per trajectory."""
+    return batch * (horizon + 2 * (horizon - 1))
+
+
+def bench_riccati_blocknnz():
     from quattro_tpu.solver.riccati import riccati_backward, riccati_backward_associative
 
     results = {}
@@ -93,21 +125,7 @@ def bench_riccati_blocknnz():
         "latency_scale_H1024": (1, 1024, 12, 4),
         "pod_feed_H1024": (64, 1024, 12, 4),
     }.items():
-        ks = jax.random.split(key, 8)
-        shape = (batch, horizon) if batch > 1 else (horizon,)
-        a = jnp.eye(n) + 0.01 * jax.random.normal(ks[0], (*shape, n, n))
-        b = 0.05 * jax.random.normal(ks[1], (*shape, n, m))
-        w = jax.random.normal(ks[2], (*shape, n, n))
-        exp = CostExpansion(
-            l_x=jax.random.normal(ks[3], (*shape, n)),
-            l_u=jax.random.normal(ks[4], (*shape, m)),
-            l_xx=0.1 * jnp.einsum("...ij,...kj->...ik", w, w) + 0.1 * jnp.eye(n),
-            l_uu=jnp.broadcast_to(jnp.eye(m), (*shape, m, m)),
-            l_ux=0.01 * jax.random.normal(ks[5], (*shape, m, n)),
-        )
-        v_x = jax.random.normal(ks[6], (n,))
-        wf = jax.random.normal(ks[7], (n, n))
-        v_xx = wf @ wf.T + jnp.eye(n)
+        a, b, exp, v_x, v_xx = random_lq_problem(batch, horizon, n, m, key)
 
         for name, backward in (
             ("sequential", riccati_backward),
@@ -122,7 +140,7 @@ def bench_riccati_blocknnz():
                 fn = jax.jit(lambda aa, bb, ee: backward(aa, bb, ee, v_x, v_xx))
                 args = (a, b, exp)
             elapsed = _time_pipelined(lambda *xs: fn(*xs).k_seq, args)
-            nnz = batch * (horizon + 2 * (horizon - 1))
+            nnz = block_nnz(batch, horizon)
             results[f"{label}/{name}"] = {
                 "seconds": elapsed,
                 "block_nnz_per_sec": nnz / elapsed,
@@ -269,11 +287,111 @@ def bench_kernels():
     return results
 
 
+def bench_roofline():
+    """Per-phase roofline: analytic FLOPs/bytes vs measured time -> MFU.
+
+    Phases of the headline quadrotor iteration (H=100, n=12, m=4) measured
+    in isolation, plus the pod-feed batched Riccati. Peak spec from the
+    detected device (v5e here); see quattro_tpu/utils/roofline.py for the
+    models and the f32-derate caveat.
+    """
+    from quattro_tpu.solver import make_quadratic_cost, make_quadratic_final_cost
+    from quattro_tpu.solver.derivatives import (
+        linearize_dynamics,
+        quadratize_cost,
+        quadratize_final_cost,
+    )
+    from quattro_tpu.solver.riccati import riccati_backward
+    from quattro_tpu.solver.rollout import line_search, simulate, trajectory_cost
+    from quattro_tpu.systems import make_discrete, quadrotor_dynamics
+    from quattro_tpu.utils import roofline
+
+    peak = roofline.PEAKS["tpu-v5p" if "v5p" in str(jax.devices()[0]).lower() else "tpu-v5e"]
+    n, m, horizon = 12, 4, 100
+    x_ref = jnp.zeros(n).at[2].set(0.5)
+    dyn = make_discrete(quadrotor_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(
+        jnp.array([10.0, 10.0, 50.0, 1, 1, 1, 10.0, 10.0, 50.0, 1, 1, 1]),
+        jnp.full((m,), 0.01), x_ref, barrier_alpha=1000.0,
+    )
+    fcost = make_quadratic_final_cost(
+        jnp.array([100.0, 100.0, 500.0, 10, 10, 10, 100.0, 100.0, 500.0, 10, 10, 10]), x_ref
+    )
+    x0 = jnp.zeros(n).at[2].set(0.2).at[6].set(0.1)
+    u0 = jnp.zeros((horizon, m))
+    x_seq = simulate(dyn, x0, u0)
+    cost0 = trajectory_cost(cost, fcost, x_seq, u0)
+    dynf = roofline.QUADROTOR_DYN_FLOPS
+
+    f_lin = jax.jit(lambda xs, us: linearize_dynamics(dyn, xs, us)[0])
+    t_lin = _time_pipelined(f_lin, (x_seq, u0))
+
+    a_seq, b_seq = linearize_dynamics(dyn, x_seq, u0)
+    exp = quadratize_cost(cost, x_seq, u0)
+    fexp = quadratize_final_cost(fcost, x_seq[-1])
+    f_ric = jax.jit(
+        lambda aa, bb, ee: riccati_backward(aa, bb, ee, fexp.v_x, fexp.v_xx).k_seq
+    )
+    t_ric = _time_pipelined(lambda aa, bb, ee: f_ric(aa, bb, ee), (a_seq, b_seq, exp))
+
+    res = riccati_backward(a_seq, b_seq, exp, fexp.v_x, fexp.v_xx)
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.05, 0.01], dtype=x_seq.dtype)
+    f_ls = jax.jit(
+        lambda xs, us, k, kk: line_search(
+            dyn, cost, fcost, x0, xs, us, k, kk, cost0, alphas
+        )[4]
+    )
+    t_ls = _time_pipelined(f_ls, (x_seq, u0, res.k_seq, res.big_k_seq))
+
+    out = {
+        "peak_spec": {"name": peak.name, "bf16_tflops": peak.matmul_bf16_flops / 1e12,
+                      "hbm_gbps": peak.hbm_bytes / 1e9,
+                      "f32_peak_is_estimate": True},
+        "linearize_H100": roofline.report(
+            roofline.linearize_flops(horizon, n, m, dynf),
+            horizon * (n + m + n * (n + m)) * 4.0, t_lin, peak,
+        ),
+        "riccati_seq_H100": roofline.report(
+            roofline.riccati_flops(horizon, n, m),
+            roofline.riccati_bytes(horizon, n, m, carry_in_hbm=True), t_ric, peak,
+        ),
+        "line_search_H100": roofline.report(
+            roofline.rollout_flops(horizon, n, m, dynf),
+            horizon * (n + m + m * n) * 6 * 4.0, t_ls, peak,
+        ),
+    }
+
+    # Pod-feed batched Riccati: vmapped scan vs the fused Pallas kernel.
+    from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused
+
+    batch, bh = 64, 1024
+    a, b, exp_b, v_x, v_xx = random_lq_problem(batch, bh, n, m)
+    v_x_b = jnp.broadcast_to(v_x, (batch, n))
+    v_xx_b = jnp.broadcast_to(v_xx, (batch, n, n))
+    flops = roofline.riccati_flops(bh, n, m, batch)
+    f_scan = jax.jit(
+        jax.vmap(lambda aa, bb, ee: riccati_backward(aa, bb, ee, v_x, v_xx).k_seq)
+    )
+    t_scan = _time_pipelined(lambda aa, bb, ee: f_scan(aa, bb, ee), (a, b, exp_b), repeats=5)
+    out["riccati_podfeed_scan"] = roofline.report(
+        flops, roofline.riccati_bytes(bh, n, m, batch, carry_in_hbm=True), t_scan, peak
+    )
+    f_fused = jax.jit(
+        lambda aa, bb, ee: riccati_backward_batched_fused(aa, bb, ee, v_x_b, v_xx_b)[0]
+    )
+    t_fused = _time_pipelined(lambda aa, bb, ee: f_fused(aa, bb, ee), (a, b, exp_b), repeats=5)
+    out["riccati_podfeed_fused"] = roofline.report(
+        flops, roofline.riccati_bytes(bh, n, m, batch), t_fused, peak
+    )
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--json", default=None)
     parser.add_argument(
-        "--only", default=None, choices=["riccati", "hybrid", "batch", "kernels"],
+        "--only", default=None,
+        choices=["riccati", "hybrid", "batch", "kernels", "roofline"],
         help="run one section",
     )
     args = parser.parse_args()
@@ -291,6 +409,9 @@ def main():
     if args.only in (None, "kernels"):
         out["kernels"] = bench_kernels()
         print(json.dumps({"kernels": out["kernels"]}, indent=2), flush=True)
+    if args.only in (None, "roofline"):
+        out["roofline"] = bench_roofline()
+        print(json.dumps({"roofline": out["roofline"]}, indent=2), flush=True)
 
     if args.json:
         with open(args.json, "w") as f:

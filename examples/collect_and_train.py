@@ -81,9 +81,41 @@ def initial_states(system, num, key):
     return x0.astype(jnp.float32)
 
 
+def mujoco_plant_adapters(system):
+    """(reset_fn, read_fn, apply_fn, step_fn, substeps, solver-params) for
+    host-loop collection against the MuJoCo plant — the reference's actual
+    training distribution includes this model mismatch
+    (training_data_collection.py:78-88)."""
+    from quattro_tpu.sim import CartPoleBridge, QuadrotorBridge
+
+    if system == "cartpole":
+        bridge = CartPoleBridge()
+
+        def reset_fn(x0):
+            bridge.reset(position=float(x0[0]), angle=float(x0[2]))
+
+        def apply_fn(u):
+            bridge.apply_control(float(u[0]))
+
+        return reset_fn, bridge.read_state, apply_fn, bridge.step, 1, None
+
+    bridge = QuadrotorBridge()
+
+    def reset_fn(x0):
+        bridge.reset(position=(float(x0[0]), -float(x0[1]), float(x0[2])),
+                     rpy=(float(x0[6]), float(x0[7]), float(x0[8])))
+
+    return (reset_fn, bridge.read_state, bridge.apply_thrusts, bridge.step,
+            20, bridge.solver_params())
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--system", required=True, choices=["cartpole", "quadrotor"])
+    parser.add_argument("--plant", default="model", choices=["model", "mujoco"],
+                        help="'model': vmapped on-device sweeps against the solver's own "
+                             "dynamics; 'mujoco': host-loop closed-loop collection against "
+                             "the MuJoCo plant (the reference's model-mismatch distribution)")
     parser.add_argument("--horizon", type=int, default=None)
     parser.add_argument("--prompt-len", type=int, default=None)
     parser.add_argument("--num-inits", type=int, default=64)
@@ -96,6 +128,10 @@ def main() -> None:
     parser.add_argument("--nhead", type=int, default=4)
     parser.add_argument("--layers", type=int, default=3)
     parser.add_argument("--ff", type=int, default=None)
+    parser.add_argument("--max-seq-len", type=int, default=None,
+                        help="transformer position budget; defaults to the per-system "
+                             "reference value, or 2*horizon+16 for non-default horizons")
+    parser.add_argument("--tol", type=float, default=None)
     parser.add_argument("--out", required=True, help="output GainPredictor npz path")
     parser.add_argument("--dataset-out", default=None,
                         help="optional dataset dump: .qtshard (native validated shards) or .npz")
@@ -123,20 +159,51 @@ def main() -> None:
         max_seq_len = 110
         tol = 1e-3
         setup = quadrotor_setup
+    # Token budget: (H+1) state rows + prompt_len + (H - prompt_len) targets
+    # = 2H+1 tokens. The reference values (100 / 110) only fit the reference
+    # horizons; longer horizons get a derived budget.
+    if args.max_seq_len is not None:
+        max_seq_len = args.max_seq_len
+    elif 2 * horizon + 1 > max_seq_len:
+        max_seq_len = 2 * horizon + 16
+    if args.tol is not None:
+        tol = args.tol
 
     dyn, cost, fcost, n, m = setup(horizon)
     key = jax.random.PRNGKey(0)
     x0s = initial_states(args.system, args.num_inits, key)
 
-    print(f"collecting: {args.num_inits} inits x {args.sim_steps} MPC steps "
-          f"x <= {args.max_iter} iLQR iters (horizon {horizon})", flush=True)
+    print(f"collecting ({args.plant} plant): {args.num_inits} inits x {args.sim_steps} "
+          f"MPC steps x <= {args.max_iter} iLQR iters (horizon {horizon})", flush=True)
     t0 = time.time()
-    dataset = collect_gain_dataset(
-        dyn, cost, fcost, x0s, horizon, m, args.sim_steps,
-        config=ILQRConfig(tol=tol, max_iter=args.max_iter),
-    )
+    solve_config = ILQRConfig(tol=tol, max_iter=args.max_iter)
+    if args.plant == "mujoco":
+        from quattro_tpu.training import collect_gain_dataset_host
+
+        reset_fn, read_fn, apply_fn, step_fn, substeps, measured = mujoco_plant_adapters(
+            args.system
+        )
+        if measured is not None:
+            # Parameter-match the solver's model to the compiled MuJoCo plant
+            # (quadrotor_wrapper.py:76-83 semantics).
+            from quattro_tpu.systems import make_discrete, quadrotor_dynamics
+
+            dyn = make_discrete(
+                lambda x, u: quadrotor_dynamics(x, u, measured), 0.01, "rk4"
+            )
+        dataset = collect_gain_dataset_host(
+            reset_fn, read_fn, apply_fn, step_fn, dyn, cost, fcost,
+            x0s, horizon, m, args.sim_steps, config=solve_config,
+            substeps=substeps, shard_path=args.dataset_out
+            if args.dataset_out and args.dataset_out.endswith(".qtshard") else None,
+            verbose=True,
+        )
+    else:
+        dataset = collect_gain_dataset(
+            dyn, cost, fcost, x0s, horizon, m, args.sim_steps, config=solve_config,
+        )
     print(f"collected {dataset.x_data.shape[0]} rows in {time.time() - t0:.1f}s", flush=True)
-    if args.dataset_out:
+    if args.dataset_out and not (args.plant == "mujoco" and args.dataset_out.endswith(".qtshard")):
         from quattro_tpu.training import save_gain_dataset
 
         save_gain_dataset(args.dataset_out, dataset)

@@ -1,0 +1,334 @@
+"""Fused batched Riccati backward pass — one VMEM-resident Pallas kernel.
+
+The batched regime (trajectory batch B >= ~8, SURVEY.md §8.1 "K" layer) runs
+the sequential backward recursion as a vmapped ``lax.scan``
+(solver/riccati.py); XLA executes each of the H steps as its own fusion with
+the (V_x, V_xx) carry bouncing through HBM and per-step loop overhead —
+measured ~20 us/step at the pod-feed shape (64 x 1024, n=12, m=4), i.e.
+<1% of VPU peak. This kernel fuses the ENTIRE recursion:
+
+- grid = (batch tiles, horizon blocks); the horizon dimension is iterated
+  sequentially innermost, so the value-function carry lives in VMEM scratch
+  for a whole batch tile and never touches HBM;
+- per-step inputs stream HBM -> VMEM through the Pallas block pipeline
+  (double-buffered by construction), outputs stream back per block;
+- layout: every small matrix is stored COLUMN-major with the trajectory
+  batch on the lane axis — ``M_cols[t, j] = M[:, j]`` as an (n, TILE_B)
+  tile. A batched matmul column then is ``C[:, j] = sum_k M_cols[k] *
+  N[k, j]`` — n FMAs of (n, TILE_B) tiles with the scalar ``N[k, j]``
+  broadcast over sublanes, the natural VPU shape. No transposes happen
+  inside the kernel; the host side pre-permutes (one XLA transpose per
+  operand, bandwidth-bound).
+
+Update-law semantics are EXACTLY ``riccati_backward``'s
+(quattro_ilqr_tf.py:297-317 via solver/riccati.py:_gains_and_value):
+Q-expansion, Tikhonov reg on the Q_uu solve only, value update with raw
+Q_uu. The algebraic form used here,
+
+    G      = (Q_uu + reg I)^{-1} Q_ux,      g = (Q_uu + reg I)^{-1} Q_u
+    K      = -G,                            k = -g
+    V_x'   = Q_x + K'(Q_uu k + Q_u) + Q_ux' k
+    V_xx'  = Q_xx - G' Q_ux - reg G' G
+
+is identical in exact arithmetic (G' Q_ux = G' (Q_uu + reg I) G is symmetric,
+so V_xx' is symmetric BY CONSTRUCTION — the reference's explicit
+symmetrization drops out).
+
+Returns gains only (k_seq, big_k_seq) — the batched iLQR iteration never
+reads the value sequences (solver/ilqr.py:_ilqr_iteration uses res.k_seq /
+res.big_k_seq only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quattro_tpu.solver.derivatives import CostExpansion
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def riccati_backward_batched_fused(
+    a_seq: jnp.ndarray,  # (B, H, n, n)
+    b_seq: jnp.ndarray,  # (B, H, n, m)
+    cost_exp: CostExpansion,  # fields (B, H, ...)
+    v_x_final: jnp.ndarray,  # (B, n)
+    v_xx_final: jnp.ndarray,  # (B, n, n)
+    reg: float = 1e-6,
+    interpret: bool = False,
+    tile_b: int = _LANE,
+    block_t: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused backward pass over an explicit trajectory-batch axis.
+
+    Returns (k_seq (B, H, m), big_k_seq (B, H, m, n)).
+    """
+    batch, horizon, n, _ = a_seq.shape
+    m = b_seq.shape[-1]
+    dtype = a_seq.dtype
+
+    # ---- pad batch to a lane-tile multiple; benign pad content ----------
+    b_pad = _round_up(max(batch, tile_b), tile_b)
+    if b_pad != batch:
+        p = b_pad - batch
+
+        def padz(x):
+            return jnp.concatenate([x, jnp.zeros((p,) + x.shape[1:], x.dtype)], axis=0)
+
+        a_seq = padz(a_seq)
+        b_seq = padz(b_seq)
+        eye_m = jnp.broadcast_to(jnp.eye(m, dtype=dtype), (p, horizon, m, m))
+        cost_exp = CostExpansion(
+            l_x=padz(cost_exp.l_x),
+            l_u=padz(cost_exp.l_u),
+            l_xx=padz(cost_exp.l_xx),
+            l_uu=jnp.concatenate([cost_exp.l_uu, eye_m], axis=0),
+            l_ux=padz(cost_exp.l_ux),
+        )
+        v_x_final = padz(v_x_final)
+        v_xx_final = padz(v_xx_final)
+
+    # Horizon blocking: pad H to a block multiple with identity-dynamics,
+    # zero-cost stages PREPENDED in time (they run last in the reverse
+    # recursion and leave V unchanged only if A=I, B=0, costs=0 — then
+    # k=K=0 for those steps and V passes through; we prepend so the real
+    # steps' indices stay aligned at the END where the recursion starts).
+    h_pad = _round_up(horizon, block_t)
+    if h_pad != horizon:
+        ph = h_pad - horizon
+
+        def pre(x, fill):
+            pad_block = jnp.broadcast_to(fill, (b_pad, ph) + x.shape[2:]).astype(x.dtype)
+            return jnp.concatenate([pad_block, x], axis=1)
+
+        a_seq = pre(a_seq, jnp.eye(n, dtype=dtype))
+        b_seq = pre(b_seq, jnp.zeros((n, m), dtype))
+        cost_exp = CostExpansion(
+            l_x=pre(cost_exp.l_x, jnp.zeros((n,), dtype)),
+            l_u=pre(cost_exp.l_u, jnp.zeros((m,), dtype)),
+            l_xx=pre(cost_exp.l_xx, jnp.zeros((n, n), dtype)),
+            l_uu=pre(cost_exp.l_uu, jnp.eye(m, dtype=dtype)),
+            l_ux=pre(cost_exp.l_ux, jnp.zeros((m, n), dtype)),
+        )
+
+    # ---- host-side layout: column-major SoA, batch on lanes -------------
+    # M (B, H, r, c) -> cols (H, c, r, B): cols[t, j] = M[:, j] per lane.
+    def cols(x):
+        return jnp.transpose(x, (1, 3, 2, 0))
+
+    # M (B, H, r, c) -> rows-as-cols of M^T (H, r, c, B): rows[t, i] = M[i, :].
+    def rows(x):
+        return jnp.transpose(x, (1, 2, 3, 0))
+
+    def vec(x):  # (B, H, d) -> (H, d, B)
+        return jnp.transpose(x, (1, 2, 0))
+
+    a_cols = cols(a_seq)
+    at_cols = rows(a_seq)  # columns of A^T
+    b_cols = cols(b_seq)  # (H, m, n, B)
+    bt_cols = rows(b_seq)  # (H, n, m, B): bt_cols[t, k] = column k of B^T = (m, B)
+    lxx_cols = cols(cost_exp.l_xx)  # symmetric
+    lux_cols = cols(cost_exp.l_ux)  # (H, n, m, B): columns of l_ux (m x n)
+    luxt_cols = rows(cost_exp.l_ux)  # (H, m, n, B): columns of l_ux^T
+    luu_cols = cols(cost_exp.l_uu)  # (H, m, m, B), symmetric
+    lx_v = vec(cost_exp.l_x)  # (H, n, B)
+    lu_v = vec(cost_exp.l_u)  # (H, m, B)
+    vxf = v_x_final.T  # (n, B)
+    vxxf = jnp.transpose(v_xx_final, (2, 1, 0))  # (n, n, B) columns (symmetric)
+
+    n_btiles = b_pad // tile_b
+    n_hblocks = h_pad // block_t
+    # Python float: baked into the kernel as a literal (a traced jnp scalar
+    # would be a captured constant, which pallas_call rejects).
+    reg_c = float(reg)
+
+    def kernel(
+        a_r, at_r, b_r, bt_r, lxx_r, lux_r, luxt_r, luu_r, lx_r, lu_r,
+        vxf_r, vxxf_r, k_out, bigk_out, vx_s, vxx_s,
+    ):
+        from jax.experimental import pallas as pl
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            vx_s[...] = vxf_r[...]
+            vxx_s[...] = vxxf_r[...]
+
+        # One step body inside a fori_loop (reverse time within the block):
+        # unrolling block_t copies of the ~700-op body made Mosaic compile
+        # ~8x slower for no measurable runtime win.
+        def step(i, _):
+            tt = block_t - 1 - i
+            av = a_r[tt]  # (n, n, B): av[j][k] = A[k, j]
+            atv = at_r[tt]  # (n, n, B): atv[k] = At[:, k] = A[k, :]
+            bv = b_r[tt]  # (m, n, B): bv[j][k] = B[k, j]
+            btv = bt_r[tt]  # (n, m, B): btv[k] = Bt[:, k] (m, B)
+            lxxv = lxx_r[tt]
+            luxv = lux_r[tt]  # (n, m, B) cols of (m x n) l_ux
+            luxtv = luxt_r[tt]  # (m, n, B) cols of l_ux^T
+            luuv = luu_r[tt]
+            lxv = lx_r[tt]  # (n, B)
+            luv = lu_r[tt]  # (m, B)
+            vx = vx_s[...]  # (n, B)
+            vxx = vxx_s[...]  # (n, n, B) columns
+
+            # T1 = Vxx @ A (n x n), T3 = Vxx @ B (n x m) — columns.
+            t1 = [
+                sum(vxx[k] * av[j, k] for k in range(n))
+                for j in range(n)
+            ]
+            t3 = [
+                sum(vxx[k] * bv[j, k] for k in range(n))
+                for j in range(m)
+            ]
+            # Q_xx = l_xx + At @ T1;  Q_ux = l_ux + Bt @ T1 (cols over n);
+            # Q_uxT = l_ux^T + At @ T3 (cols over m);  Q_uu = l_uu + Bt @ T3.
+            qxx = [
+                lxxv[j] + sum(atv[k] * t1[j][k] for k in range(n))
+                for j in range(n)
+            ]
+            qux = [
+                luxv[j] + sum(btv[k] * t1[j][k] for k in range(n))
+                for j in range(n)
+            ]
+            quxt = [
+                luxtv[j] + sum(atv[k] * t3[j][k] for k in range(n))
+                for j in range(m)
+            ]
+            quu = [
+                luuv[j] + sum(btv[k] * t3[j][k] for k in range(n))
+                for j in range(m)
+            ]
+            # Q_x = l_x + At @ V_x;  Q_u = l_u + Bt @ V_x.
+            qx = lxv + sum(atv[k] * vx[k] for k in range(n))
+            qu = luv + sum(btv[k] * vx[k] for k in range(n))
+
+            # Cholesky of Q_uu + reg I over lanes (unrolled, m tiny).
+            chol = [[None] * m for _ in range(m)]
+            for j in range(m):
+                diag = quu[j][j] + reg_c
+                for t in range(j):
+                    diag = diag - chol[j][t] * chol[j][t]
+                ljj = jnp.sqrt(diag)
+                chol[j][j] = ljj
+                inv_ljj = 1.0 / ljj
+                for i in range(j + 1, m):
+                    off = quu[j][i]  # Q_uu symmetric: [i, j] = cols[j][i]
+                    for t in range(j):
+                        off = off - chol[i][t] * chol[j][t]
+                    chol[i][j] = off * inv_ljj
+
+            def spd_solve(rhs_rows):  # rhs_rows: list of m lane rows
+                ys = []
+                for i in range(m):
+                    acc = rhs_rows[i]
+                    for t in range(i):
+                        acc = acc - chol[i][t] * ys[t]
+                    ys.append(acc / chol[i][i])
+                xs = [None] * m
+                for i in reversed(range(m)):
+                    acc = ys[i]
+                    for t in range(i + 1, m):
+                        acc = acc - chol[t][i] * xs[t]
+                    xs[i] = acc / chol[i][i]
+                return xs
+
+            # G[:, j] = solve(Q_ux[:, j]); g = solve(Q_u).
+            g_cols = [spd_solve([qux[j][i] for i in range(m)]) for j in range(n)]
+            g_u = spd_solve([qu[i] for i in range(m)])
+
+            # Outputs: k = -g, K = -G (row-major (m, n) with batch lanes).
+            k_out[tt] = -jnp.stack(g_u, axis=0)  # (m, B)
+            for j in range(n):
+                bigk_out[tt, :, j, :] = -jnp.stack(g_cols[j], axis=0)
+
+            # Gt columns (n, B): Gt[:, t] = G[t, :].
+            gt = [
+                jnp.stack([g_cols[j][t] for j in range(n)], axis=0)
+                for t in range(m)
+            ]
+            # V_x' = Q_x + Kt (Q_uu k + Q_u) + Q_uxT k  with k = -g.
+            quu_k = [
+                -sum(quu[t][i] * g_u[t] for t in range(m)) for i in range(m)
+            ]  # rows of Q_uu @ k
+            inner = [quu_k[i] + qu[i] for i in range(m)]
+            vx_new = qx - sum(gt[t] * inner[t] for t in range(m)) - sum(
+                quxt[t] * g_u[t] for t in range(m)
+            )
+            # V_xx' columns: qxx_j - sum_t Gt_t (qux_j[t] + reg * G_j[t]).
+            for j in range(n):
+                vxx_s[j] = qxx[j] - sum(
+                    gt[t] * (qux[j][t] + reg_c * g_cols[j][t]) for t in range(m)
+                )
+            vx_s[...] = vx_new
+            return 0
+
+        jax.lax.fori_loop(0, block_t, step, 0)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (n_btiles, n_hblocks)
+
+    def tspec(c, r):
+        return pl.BlockSpec(
+            (block_t, c, r, tile_b),
+            lambda ib, ih: (n_hblocks - 1 - ih, 0, 0, ib),
+            memory_space=pltpu.VMEM,
+        )
+
+    def vspec(d):
+        return pl.BlockSpec(
+            (block_t, d, tile_b),
+            lambda ib, ih: (n_hblocks - 1 - ih, 0, ib),
+            memory_space=pltpu.VMEM,
+        )
+
+    term_vec = pl.BlockSpec((n, tile_b), lambda ib, ih: (0, ib), memory_space=pltpu.VMEM)
+    term_mat = pl.BlockSpec((n, n, tile_b), lambda ib, ih: (0, 0, ib), memory_space=pltpu.VMEM)
+
+    k_soa, bigk_soa = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            tspec(n, n),  # a_cols
+            tspec(n, n),  # at_cols
+            tspec(m, n),  # b_cols
+            tspec(n, m),  # bt_cols
+            tspec(n, n),  # lxx_cols
+            tspec(n, m),  # lux_cols
+            tspec(m, n),  # luxt_cols
+            tspec(m, m),  # luu_cols
+            vspec(n),  # l_x
+            vspec(m),  # l_u
+            term_vec,  # v_x_final
+            term_mat,  # v_xx_final
+        ],
+        out_specs=[
+            vspec(m),  # k
+            tspec(m, n),  # big K, (H, m, n, B)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h_pad, m, b_pad), dtype),
+            jax.ShapeDtypeStruct((h_pad, m, n, b_pad), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, tile_b), dtype),
+            pltpu.VMEM((n, n, tile_b), dtype),
+        ],
+        interpret=interpret,
+    )(
+        a_cols, at_cols, b_cols, bt_cols, lxx_cols, lux_cols, luxt_cols,
+        luu_cols, lx_v, lu_v, vxf, vxxf,
+    )
+
+    k_seq = jnp.transpose(k_soa, (2, 0, 1))[:batch, h_pad - horizon :]
+    big_k_seq = jnp.transpose(bigk_soa, (3, 0, 1, 2))[:batch, h_pad - horizon :]
+    return k_seq, big_k_seq

@@ -7,7 +7,9 @@ become stacked arrays, and the PyTorch loop becomes optax + jit.
 
 from quattro_tpu.training.collect import (
     collect_gain_dataset,
+    collect_gain_dataset_host,
     GainDataset,
+    ShardDataset,
     lhs_initial_states,
     load_gain_dataset,
     save_gain_dataset,
@@ -16,7 +18,9 @@ from quattro_tpu.training.train import TrainConfig, train_gain_predictor
 
 __all__ = [
     "collect_gain_dataset",
+    "collect_gain_dataset_host",
     "GainDataset",
+    "ShardDataset",
     "lhs_initial_states",
     "load_gain_dataset",
     "save_gain_dataset",

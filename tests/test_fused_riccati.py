@@ -1,0 +1,129 @@
+"""Fused batched Riccati backward kernel vs the vmapped sequential scan.
+
+The kernel must reproduce `riccati_backward`'s gains exactly (same update
+law, same regularization placement) on random LQ problems, including the
+batch-padding and horizon-padding paths. Interpret mode (CPU); the Mosaic
+lowering is exercised by benchmarks/suite.py on real TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused
+from quattro_tpu.solver.derivatives import CostExpansion
+from quattro_tpu.solver.riccati import riccati_backward
+
+
+def _random_problem(batch, horizon, n, m, dtype, seed=0):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 9)
+    sh = (batch, horizon)
+    a = jnp.eye(n, dtype=dtype) + 0.1 * jax.random.normal(ks[0], (*sh, n, n), dtype)
+    b = 0.3 * jax.random.normal(ks[1], (*sh, n, m), dtype)
+    w = jax.random.normal(ks[2], (*sh, n, n), dtype)
+    wu = jax.random.normal(ks[3], (*sh, m, m), dtype)
+    exp = CostExpansion(
+        l_x=jax.random.normal(ks[4], (*sh, n), dtype),
+        l_u=jax.random.normal(ks[5], (*sh, m), dtype),
+        l_xx=0.3 * jnp.einsum("...ij,...kj->...ik", w, w) + 0.2 * jnp.eye(n, dtype=dtype),
+        l_uu=jnp.einsum("...ij,...kj->...ik", wu, wu) + 0.5 * jnp.eye(m, dtype=dtype),
+        l_ux=0.1 * jax.random.normal(ks[6], (*sh, m, n), dtype),
+    )
+    wf = jax.random.normal(ks[7], (batch, n, n), dtype)
+    v_xx = jnp.einsum("bij,bkj->bik", wf, wf) + jnp.eye(n, dtype=dtype)
+    v_x = jax.random.normal(ks[8], (batch, n), dtype)
+    return a, b, exp, v_x, v_xx
+
+
+def _oracle(a, b, exp, v_x, v_xx, reg):
+    res = jax.vmap(
+        lambda aa, bb, ee, vx, vxx: riccati_backward(aa, bb, ee, vx, vxx, reg)
+    )(a, b, exp, v_x, v_xx)
+    return res.k_seq, res.big_k_seq
+
+
+@pytest.mark.parametrize(
+    "batch,horizon,n,m,block_t",
+    [
+        (5, 16, 3, 2, 8),  # batch pad to 128, exact horizon blocks
+        (4, 13, 4, 1, 8),  # horizon pad 13 -> 16, m=1
+        (3, 12, 12, 4, 4),  # flagship dims
+    ],
+)
+def test_fused_matches_vmapped_scan_f64(batch, horizon, n, m, block_t):
+    a, b, exp, v_x, v_xx = _random_problem(batch, horizon, n, m, jnp.float64)
+    reg = 1e-6
+    k_ref, big_k_ref = _oracle(a, b, exp, v_x, v_xx, reg)
+    k, big_k = riccati_backward_batched_fused(
+        a, b, exp, v_x, v_xx, reg, interpret=True, block_t=block_t
+    )
+    np.testing.assert_allclose(np.asarray(k), np.asarray(k_ref), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(big_k), np.asarray(big_k_ref), rtol=1e-9, atol=1e-9)
+
+
+def test_fused_matches_vmapped_scan_f32():
+    a, b, exp, v_x, v_xx = _random_problem(6, 24, 12, 4, jnp.float32, seed=3)
+    reg = 1e-6
+    k_ref, big_k_ref = _oracle(a, b, exp, v_x, v_xx, reg)
+    k, big_k = riccati_backward_batched_fused(a, b, exp, v_x, v_xx, reg, interpret=True)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(k_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(big_k), np.asarray(big_k_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_batched_solve_matches_vmapped_solve():
+    """The explicitly-batched iLQR loop around the fused kernel must
+    reproduce `vmap(ilqr_solve)` — same masking semantics, same accepted
+    steps, same per-lane iteration counts (f64 => fp noise ~1e-12, so the
+    line-search decisions are identical)."""
+    from quattro_tpu.parallel.batch import _batched_ilqr_solve_fused, batched_ilqr_solve
+    from quattro_tpu.solver import ILQRConfig, make_quadratic_cost, make_quadratic_final_cost
+    from quattro_tpu.systems import cartpole_dynamics, make_discrete
+
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), jnp.zeros(4))
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), jnp.zeros(4))
+    key = jax.random.PRNGKey(0)
+    x0s = 0.3 * jax.random.normal(key, (6, 4), dtype=jnp.float64)
+    u0s = jnp.zeros((6, 20, 1), dtype=jnp.float64)
+    config = ILQRConfig(tol=1e-1, max_iter=12)
+
+    ref = batched_ilqr_solve(dyn, cost, fcost, x0s, u0s, config, riccati_backend="vmap")
+    got = _batched_ilqr_solve_fused(dyn, cost, fcost, x0s, u0s, config, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got.iterations), np.asarray(ref.iterations))
+    np.testing.assert_array_equal(np.asarray(got.converged), np.asarray(ref.converged))
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.u_seq), np.asarray(ref.u_seq), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(got.big_k_seq), np.asarray(ref.big_k_seq), atol=1e-7
+    )
+
+
+def test_batched_solve_backend_validation():
+    from quattro_tpu.parallel.batch import batched_ilqr_solve
+    from quattro_tpu.solver import ILQRConfig, make_quadratic_cost, make_quadratic_final_cost
+    from quattro_tpu.systems import cartpole_dynamics, make_discrete
+
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), jnp.zeros(4))
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), jnp.zeros(4))
+    with pytest.raises(ValueError):
+        batched_ilqr_solve(
+            dyn, cost, fcost, jnp.zeros((2, 4)), jnp.zeros((2, 10, 1)),
+            riccati_backend="warp",
+        )
+
+
+def test_fused_multi_batch_tile():
+    """More than one lane tile (B > tile_b) exercises the outer grid dim and
+    the carry re-initialization per batch tile."""
+    a, b, exp, v_x, v_xx = _random_problem(130, 8, 3, 2, jnp.float64, seed=7)
+    reg = 1e-6
+    k_ref, big_k_ref = _oracle(a, b, exp, v_x, v_xx, reg)
+    k, big_k = riccati_backward_batched_fused(
+        a, b, exp, v_x, v_xx, reg, interpret=True, tile_b=128, block_t=8
+    )
+    np.testing.assert_allclose(np.asarray(k), np.asarray(k_ref), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(big_k), np.asarray(big_k_ref), rtol=1e-9, atol=1e-9)
