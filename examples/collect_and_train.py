@@ -132,9 +132,13 @@ def main() -> None:
                         help="transformer position budget; defaults to the per-system "
                              "reference value, or 2*horizon+16 for non-default horizons")
     parser.add_argument("--tol", type=float, default=None)
+    parser.add_argument("--state-stride", type=int, default=1,
+                        help="subsample the state context by this stride (long horizons)")
     parser.add_argument("--out", required=True, help="output GainPredictor npz path")
     parser.add_argument("--dataset-out", default=None,
                         help="optional dataset dump: .qtshard (native validated shards) or .npz")
+    parser.add_argument("--dataset-in", default=None, nargs="+",
+                        help="skip collection; train from saved dataset file(s)")
     args = parser.parse_args()
 
     import jax
@@ -173,16 +177,21 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     x0s = initial_states(args.system, args.num_inits, key)
 
-    print(f"collecting ({args.plant} plant): {args.num_inits} inits x {args.sim_steps} "
-          f"MPC steps x <= {args.max_iter} iLQR iters (horizon {horizon})", flush=True)
     t0 = time.time()
     solve_config = ILQRConfig(tol=tol, max_iter=args.max_iter)
-    if args.plant == "mujoco":
+    if args.dataset_in:
+        from quattro_tpu.training import load_gain_dataset
+
+        dataset = load_gain_dataset(args.dataset_in)
+        print(f"loaded {dataset.x_data.shape[0]} rows from {args.dataset_in}", flush=True)
+    elif args.plant == "mujoco":
         from quattro_tpu.training import collect_gain_dataset_host
 
         reset_fn, read_fn, apply_fn, step_fn, substeps, measured = mujoco_plant_adapters(
             args.system
         )
+        print(f"collecting (mujoco plant): {args.num_inits} inits x {args.sim_steps} "
+              f"MPC steps x <= {args.max_iter} iLQR iters (horizon {horizon})", flush=True)
         if measured is not None:
             # Parameter-match the solver's model to the compiled MuJoCo plant
             # (quadrotor_wrapper.py:76-83 semantics).
@@ -199,11 +208,14 @@ def main() -> None:
             verbose=True,
         )
     else:
+        print(f"collecting (model plant): {args.num_inits} inits x {args.sim_steps} "
+              f"MPC steps x <= {args.max_iter} iLQR iters (horizon {horizon})", flush=True)
         dataset = collect_gain_dataset(
             dyn, cost, fcost, x0s, horizon, m, args.sim_steps, config=solve_config,
         )
     print(f"collected {dataset.x_data.shape[0]} rows in {time.time() - t0:.1f}s", flush=True)
-    if args.dataset_out and not (args.plant == "mujoco" and args.dataset_out.endswith(".qtshard")):
+    if args.dataset_out and not args.dataset_in and not (
+            args.plant == "mujoco" and args.dataset_out.endswith(".qtshard")):
         from quattro_tpu.training import save_gain_dataset
 
         save_gain_dataset(args.dataset_out, dataset)
@@ -226,6 +238,7 @@ def main() -> None:
         dim_feedforward=ff,
         max_seq_len=max_seq_len,
         seq_len_states=horizon + 1,
+        state_stride=args.state_stride,
     )
     print(f"training {predictor.num_params():,}-param model "
           f"({args.epochs} epochs, batch {args.batch_size})", flush=True)

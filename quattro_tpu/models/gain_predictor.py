@@ -65,11 +65,21 @@ def _unflatten_params(flat):
 
 @dataclasses.dataclass
 class GainPredictor:
-    """Trained gain-sequence predictor bound to its params and normalizer."""
+    """Trained gain-sequence predictor bound to its params and normalizer.
+
+    ``state_stride``: subsample the state-error context by this stride before
+    embedding (token ``0, s, 2s, ...``). The reference always feeds all H+1
+    state rows (quattro_ilqr_tf.py:504), which is fine at H<=50 but makes the
+    forward latency-bound at long horizons — at H=256 a stride-4 context cuts
+    the transformer's token count ~2x with no measurable loss-quality change
+    (the state trajectory is smooth at dt=0.01). Stride 1 == reference
+    semantics; the value is baked into the checkpoint.
+    """
 
     module: TransformerPredictor
     params: dict
     normalizer: DataNormalizer
+    state_stride: int = 1
 
     # ------------------------------------------------------------------
     # Construction
@@ -89,6 +99,7 @@ class GainPredictor:
         seq_len_states: Optional[int] = None,
         rng: Optional[jax.Array] = None,
         normalizer: Optional[DataNormalizer] = None,
+        state_stride: int = 1,
     ) -> "GainPredictor":
         """Fresh random-init predictor (defaults: transformer_ilqr.py:36-38)."""
         module = TransformerPredictor(
@@ -106,12 +117,13 @@ class GainPredictor:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         t_states = seq_len_states if seq_len_states is not None else target_len + prompt_len + 1
+        t_states = -(-t_states // state_stride)  # context length after striding
         dummy_x = jnp.zeros((1, t_states, state_dim))
         dummy_prompt = jnp.zeros((1, prompt_len, control_dim))
         params = module.init(rng, dummy_x, dummy_prompt)["params"]
         if normalizer is None:
             normalizer = DataNormalizer.identity(state_dim, control_dim)
-        return GainPredictor(module, params, normalizer)
+        return GainPredictor(module, params, normalizer, state_stride=state_stride)
 
     # ------------------------------------------------------------------
     # Inference
@@ -143,8 +155,10 @@ class GainPredictor:
         else:
             params = self.params
 
+        stride = self.state_stride
+
         def predict(x_err_seq: jnp.ndarray, kk_seq: jnp.ndarray) -> jnp.ndarray:
-            x_norm = norm.transform_x(x_err_seq)[None]  # (1, T, n)
+            x_norm = norm.transform_x(x_err_seq[::stride])[None]  # (1, ceil(T/s), n)
             prompt = norm.transform_u(kk_seq)[-module.prompt_len :][None]  # (1, P, c)
             if compute_dtype is not None:
                 x_norm = x_norm.astype(compute_dtype)
@@ -176,6 +190,7 @@ class GainPredictor:
         }
         for key in _HPARAM_KEYS:
             payload[f"hp_{key}"] = np.asarray(getattr(self.module, key))
+        payload["hp_state_stride"] = np.asarray(self.state_stride)
         for key, value in _flatten_params(self.params).items():
             payload[f"param/{key}"] = value
         np.savez(path, **payload)
@@ -198,7 +213,9 @@ class GainPredictor:
             u_mean=jnp.asarray(data["u_mean"]),
             u_std=jnp.asarray(data["u_std"]),
         )
-        return GainPredictor(module, params, normalizer)
+        # Default 1 keeps checkpoints from before the stride field loadable.
+        stride = int(data["hp_state_stride"].item()) if "hp_state_stride" in data.files else 1
+        return GainPredictor(module, params, normalizer, state_stride=stride)
 
     def num_params(self) -> int:
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))

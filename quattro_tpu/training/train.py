@@ -58,8 +58,9 @@ class TrainResult(NamedTuple):
     test_loss_history: np.ndarray
 
 
-def _prepare(dataset: GainDataset, normalizer: DataNormalizer, prompt_len: int):
-    x = normalizer.transform_x(jnp.asarray(dataset.x_data))
+def _prepare(dataset: GainDataset, normalizer: DataNormalizer, prompt_len: int,
+             state_stride: int = 1):
+    x = normalizer.transform_x(jnp.asarray(dataset.x_data[:, ::state_stride]))
     kk = normalizer.transform_u(jnp.asarray(dataset.kk_data))
     prompt = kk[:, -prompt_len:, :]
     target = kk[:, : kk.shape[1] - prompt_len, :]
@@ -80,6 +81,7 @@ def train_gain_predictor(
     training (batch sharded over the first mesh axis, params replicated).
     """
     prompt_len = predictor.prompt_len
+    stride = getattr(predictor, "state_stride", 1)
     streamed = not isinstance(train_data, GainDataset)
     if streamed:
         xm, xs_, km, ks_ = train_data.feature_stats()
@@ -93,7 +95,7 @@ def train_gain_predictor(
         normalizer = DataNormalizer.fit(
             jnp.asarray(train_data.x_data), jnp.asarray(train_data.kk_data)
         )
-        x, prompt, target = _prepare(train_data, normalizer, prompt_len)
+        x, prompt, target = _prepare(train_data, normalizer, prompt_len, stride)
         num_rows = x.shape[0]
     steps_per_epoch = max(num_rows // config.batch_size, 1)
 
@@ -116,7 +118,7 @@ def train_gain_predictor(
     def get_batch(idx):
         if streamed:
             xb_np, kb_np = train_data.gather(np.asarray(idx))
-            xb = normalizer.transform_x(jnp.asarray(xb_np, jnp.float32))
+            xb = normalizer.transform_x(jnp.asarray(xb_np[:, ::stride], jnp.float32))
             kk = normalizer.transform_u(jnp.asarray(kb_np, jnp.float32))
             pb, tb = _split_tokens(kk)
         else:
@@ -152,7 +154,9 @@ def train_gain_predictor(
 
     if test_data is not None:
         if isinstance(test_data, GainDataset):
-            x_test, prompt_test, target_test = _prepare(test_data, normalizer, prompt_len)
+            x_test, prompt_test, target_test = _prepare(
+                test_data, normalizer, prompt_len, stride
+            )
 
             def full_test_loss(p):
                 return float(eval_loss(p, x_test, prompt_test, target_test))
@@ -163,7 +167,7 @@ def train_gain_predictor(
                 for start in range(0, len(test_data), 4096):
                     idx = np.arange(start, min(start + 4096, len(test_data)))
                     xb_np, kb_np = test_data.gather(idx)
-                    xb = normalizer.transform_x(jnp.asarray(xb_np, jnp.float32))
+                    xb = normalizer.transform_x(jnp.asarray(xb_np[:, ::stride], jnp.float32))
                     kk = normalizer.transform_u(jnp.asarray(kb_np, jnp.float32))
                     pb, tb = _split_tokens(kk)
                     total += float(eval_loss(p, xb, pb, tb)) * len(idx)
@@ -229,7 +233,9 @@ def train_gain_predictor(
     if manager is not None:
         manager.wait_until_finished()
 
-    trained = GainPredictor(module=module, params=params, normalizer=normalizer)
+    trained = GainPredictor(
+        module=module, params=params, normalizer=normalizer, state_stride=stride
+    )
     return TrainResult(trained, np.asarray(train_hist), np.asarray(test_hist))
 
 

@@ -276,3 +276,30 @@ def test_streamed_shard_training(dataset, tmp_path):
         assert np.isfinite(res.test_loss_history).all()
     finally:
         sd.close()
+
+
+def test_state_stride_roundtrip_and_training(dataset, tmp_path):
+    """state_stride: context subsampling for long horizons — training
+    consumes strided contexts, predict_fn strides at inference, and the
+    stride survives the checkpoint roundtrip."""
+    predictor = GainPredictor.create(
+        state_dim=4, control_dim=5, prompt_len=PROMPT, target_len=HORIZON - PROMPT,
+        d_model=32, nhead=4, num_decoder_layers=1, dim_feedforward=64,
+        max_seq_len=64, seq_len_states=HORIZON + 1, state_stride=3,
+    )
+    res = train_gain_predictor(
+        predictor, dataset, None, TrainConfig(num_epochs=2, batch_size=8)
+    )
+    out = res.predictor.predict(
+        np.zeros((HORIZON + 1, 4), np.float32), np.zeros((HORIZON, 5), np.float32)
+    )
+    assert out.shape == (HORIZON - PROMPT, 5)
+
+    path = str(tmp_path / "strided.npz")
+    res.predictor.save(path)
+    loaded = GainPredictor.load(path)
+    assert loaded.state_stride == 3
+    out2 = loaded.predict(
+        np.zeros((HORIZON + 1, 4), np.float32), np.zeros((HORIZON, 5), np.float32)
+    )
+    np.testing.assert_allclose(out2, out, rtol=1e-6)
