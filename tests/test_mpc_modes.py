@@ -127,3 +127,38 @@ def test_hybrid_mujoco_closed_loop():
     assert np.linalg.norm(final) < 0.1, f"hybrid did not stabilize: {final}"
     # And it was a controlled decay, not a lucky endpoint.
     assert max(norms[-100:]) < 0.15
+
+
+def test_hybrid_quadrotor_mujoco_closed_loop():
+    """Quadrotor flagship hybrid path (quadrotor_sim.py:235-264 semantics):
+    hybrid MPC with the PORTED reference checkpoint (prompt_len=1,
+    616.2k params), measured-parameter solver model, x20 control decimation,
+    against the MuJoCo plant."""
+    pytest.importorskip("mujoco")
+    import numpy as _np
+
+    from quattro_tpu.control import make_quadrotor_mpc
+    from quattro_tpu.models.torch_port import QUADROTOR_CHECKPOINT, load_torch_checkpoint
+    from quattro_tpu.sim import QuadrotorBridge
+
+    plant = QuadrotorBridge()
+    params = plant.solver_params()
+    pred = load_torch_checkpoint(QUADROTOR_CHECKPOINT)
+    controller = make_quadrotor_mpc(
+        horizon=50, quad_params=params, mode="hybrid",
+        predict_fn=pred.predict_fn(), prompt_len=pred.prompt_len,
+    )
+    state = controller.init_state()
+    plant.reset(position=(0.0, 0.0, 0.25), rpy=(0.08, 0.0, 0.0))
+
+    x_ref = _np.zeros(12)
+    x_ref[2] = 0.5
+    for step in range(3000):  # 3 s, MPC every 20 ms
+        if step % 20 == 0:
+            x = plant.read_state()
+            u, _, state = controller.step(jnp.asarray(x, dtype=jnp.float32), state)
+            plant.apply_thrusts(_np.asarray(u))
+        plant.step()
+
+    final = plant.read_state()
+    assert _np.linalg.norm(final - x_ref) < 0.08, f"hybrid did not reach hover: {final}"
