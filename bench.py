@@ -23,6 +23,17 @@ import jax.numpy as jnp
 
 
 def build_problem():
+    import jax as _jax
+
+    # Persistent compile cache: the fused backward kernel costs ~5 min of
+    # Mosaic compile the first time this shape is seen; cached after.
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/jax_tpu_cache"),
+        )
+    except Exception:
+        pass
     from quattro_tpu.solver import (
         ILQRConfig,
         ilqr_solve,
@@ -41,12 +52,12 @@ def build_problem():
 
     # Same forced-iteration count as the baseline measurement (tol=0 disables
     # the |dJ| early exit; 6 iterations as measured for the reference).
-    # riccati="assoc": the associative-scan backward pass wins at every
-    # single-trajectory horizon on TPU (432 -> 641 iter/s here; see
-    # benchmarks/results_tpu.json and docs/DESIGN.md §2 crossover table).
-    # The default "auto" resolves to the same form at this shape; pinned
-    # explicitly so the headline metric can't shift under dispatch changes.
-    config = ILQRConfig(tol=0.0, max_iter=6, riccati="assoc")
+    # riccati="fused": the single-trajectory fused Pallas backward kernel —
+    # fastest measured form at every single-trajectory horizon (vs "assoc":
+    # 1.34 vs 1.79 ms at H=100; 650 -> 800 iter/s on this whole bench).
+    # Pinned explicitly so the headline metric can't shift under dispatch
+    # changes; "assoc" is the no-compile-cost fallback (see docs/DESIGN.md).
+    config = ILQRConfig(tol=0.0, max_iter=6, riccati="fused")
     x0 = jnp.zeros(12).at[2].set(0.2).at[6].set(0.1)
     u0 = jnp.zeros((horizon, 4))
 

@@ -394,6 +394,109 @@ def bench_kernels():
     return results
 
 
+def _quadrotor_h100_problem():
+    """The headline-bench problem (quadrotor hover, H=100) shared by the
+    roofline and fused-latency sections."""
+    from quattro_tpu.solver import make_quadratic_cost, make_quadratic_final_cost
+    from quattro_tpu.systems import make_discrete, quadrotor_dynamics
+
+    n, m, horizon = 12, 4, 100
+    x_ref = jnp.zeros(n).at[2].set(0.5)
+    dyn = make_discrete(quadrotor_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(
+        jnp.array([10.0, 10.0, 50.0, 1, 1, 1, 10.0, 10.0, 50.0, 1, 1, 1]),
+        jnp.full((m,), 0.01), x_ref, barrier_alpha=1000.0,
+    )
+    fcost = make_quadratic_final_cost(
+        jnp.array([100.0, 100.0, 500.0, 10, 10, 10, 100.0, 100.0, 500.0, 10, 10, 10]), x_ref
+    )
+    x0 = jnp.zeros(n).at[2].set(0.2).at[6].set(0.1)
+    u0 = jnp.zeros((horizon, m))
+    return dyn, cost, fcost, x0, u0, n, m, horizon
+
+
+def bench_fused_latency():
+    """Single-trajectory fused Pallas kernels vs their XLA forms.
+
+    (a) backward pass: fused kernel vs associative scan at H=100 / H=1024;
+    (b) line search: fused all-alpha rollout kernel vs the vmapped scan;
+    (c) end-to-end headline solve (quadrotor H=100, forced 6 iters) across
+        the config matrix — this is where bench.py's number comes from.
+
+    NOTE each fused-kernel shape costs ~5 min of Mosaic compile when cold
+    (persistent cache applies).
+    """
+    from quattro_tpu.solver import ILQRConfig, ilqr_solve
+    from quattro_tpu.solver.riccati import (
+        riccati_backward_associative,
+        riccati_backward_fused,
+    )
+    from quattro_tpu.solver.derivatives import (
+        linearize_dynamics,
+        quadratize_cost,
+        quadratize_final_cost,
+    )
+    from quattro_tpu.solver.riccati import riccati_backward
+    from quattro_tpu.solver.rollout import (
+        line_search,
+        line_search_fused,
+        simulate,
+        trajectory_cost,
+    )
+
+    results = {}
+    n, m = 12, 4
+    for label, horizon in (("H100", 100), ("H1024", 1024)):
+        a, b, exp, v_x, v_xx = random_lq_problem(1, horizon, n, m)
+        f_assoc = jax.jit(
+            lambda aa, bb, ee: riccati_backward_associative(aa, bb, ee, v_x, v_xx).k_seq
+        )
+        f_fused = jax.jit(
+            lambda aa, bb, ee: riccati_backward_fused(aa, bb, ee, v_x, v_xx).k_seq
+        )
+        results[f"riccati_single_{label}"] = {
+            "assoc_s": _time_pipelined(lambda *xs: f_assoc(*xs), (a, b, exp)),
+            "fused_s": _time_pipelined(lambda *xs: f_fused(*xs), (a, b, exp)),
+        }
+
+    dyn, cost, fcost, x0, u0, n, m, horizon = _quadrotor_h100_problem()
+    x_seq = simulate(dyn, x0, u0)
+    cost0 = trajectory_cost(cost, fcost, x_seq, u0)
+    a_seq, b_seq = linearize_dynamics(dyn, x_seq, u0)
+    exp = quadratize_cost(cost, x_seq, u0)
+    fexp = quadratize_final_cost(fcost, x_seq[-1])
+    res = riccati_backward(a_seq, b_seq, exp, fexp.v_x, fexp.v_xx)
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.05, 0.01], dtype=x_seq.dtype)
+    f_ls = jax.jit(
+        lambda xs, us, k, kk: line_search(
+            dyn, cost, fcost, x0, xs, us, k, kk, cost0, alphas
+        )[4]
+    )
+    f_lsf = jax.jit(
+        lambda xs, us, k, kk: line_search_fused(
+            dyn, cost, fcost, x0, xs, us, k, kk, cost0, alphas
+        )[4]
+    )
+    ls_args = (x_seq, u0, res.k_seq, res.big_k_seq)
+    results["line_search_H100"] = {
+        "xla_s": _time_pipelined(f_ls, ls_args),
+        "fused_s": _time_pipelined(f_lsf, ls_args),
+    }
+
+    for label, cfg in (
+        ("assoc_xla", ILQRConfig(tol=0.0, max_iter=6, riccati="assoc")),
+        ("fused_xla", ILQRConfig(tol=0.0, max_iter=6, riccati="fused")),
+        ("fused_fused", ILQRConfig(tol=0.0, max_iter=6, riccati="fused", linesearch="fused")),
+    ):
+        f_solve = jax.jit(lambda xi: ilqr_solve(dyn, cost, fcost, xi, u0, cfg).cost)
+        sec = _time_pipelined(f_solve, (x0,))
+        results[f"solve_H100_{label}"] = {
+            "seconds": sec,
+            "iter_per_sec": 6.0 / sec,
+        }
+    return results
+
+
 def bench_roofline():
     """Per-phase roofline: analytic FLOPs/bytes vs measured time -> MFU.
 
@@ -508,7 +611,8 @@ def main():
     parser.add_argument("--json", default=None)
     parser.add_argument(
         "--only", default=None,
-        choices=["riccati", "hybrid", "hybrid_batched", "batch", "kernels", "roofline"],
+        choices=["riccati", "hybrid", "hybrid_batched", "batch", "kernels",
+                 "fused_latency", "roofline"],
         help="run one section",
     )
     args = parser.parse_args()
@@ -529,13 +633,26 @@ def main():
     if args.only in (None, "kernels"):
         out["kernels"] = bench_kernels()
         print(json.dumps({"kernels": out["kernels"]}, indent=2), flush=True)
+    if args.only in (None, "fused_latency"):
+        out["fused_latency"] = bench_fused_latency()
+        print(json.dumps({"fused_latency": out["fused_latency"]}, indent=2), flush=True)
     if args.only in (None, "roofline"):
         out["roofline"] = bench_roofline()
         print(json.dumps({"roofline": out["roofline"]}, indent=2), flush=True)
 
     if args.json:
+        # Merge into an existing results file so `--only <section>` refreshes
+        # one table without discarding the rest.
+        merged = {}
+        if os.path.exists(args.json):
+            try:
+                with open(args.json) as f:
+                    merged = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                merged = {}
+        merged.update(out)
         with open(args.json, "w") as f:
-            json.dump(out, f, indent=2)
+            json.dump(merged, f, indent=2)
 
 
 if __name__ == "__main__":

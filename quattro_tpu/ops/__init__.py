@@ -31,10 +31,14 @@ from quattro_tpu.ops.smallchol import (
     batched_spd_solve,
 )
 from quattro_tpu.ops.smalllu import batched_small_solve, lu_solve, unrolled_lu
-from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused
+from quattro_tpu.ops.fused_riccati import (
+    riccati_backward_batched_fused,
+    riccati_backward_fused_single,
+)
 
 __all__ = [
     "riccati_backward_batched_fused",
+    "riccati_backward_fused_single",
     "BlockTridiagonal",
     "LQRKKTSystem",
     "btd_matvec",

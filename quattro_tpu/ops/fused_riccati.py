@@ -332,3 +332,156 @@ def riccati_backward_batched_fused(
     k_seq = jnp.transpose(k_soa, (2, 0, 1))[:batch, h_pad - horizon :]
     big_k_seq = jnp.transpose(bigk_soa, (3, 0, 1, 2))[:batch, h_pad - horizon :]
     return k_seq, big_k_seq
+
+
+def riccati_backward_fused_single(
+    a_seq: jnp.ndarray,  # (H, n, n)
+    b_seq: jnp.ndarray,  # (H, n, m)
+    cost_exp: CostExpansion,  # fields (H, ...)
+    v_x_final: jnp.ndarray,  # (n,)
+    v_xx_final: jnp.ndarray,  # (n, n)
+    reg: float = 1e-6,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-trajectory fused backward pass — the MPC-latency kernel.
+
+    At MPC shapes the whole problem is tiny (H=100, n=12: ~170 KB of stage
+    data), yet the `lax.scan` backward pass costs ~2.5 ms and the
+    associative scan ~1.8 ms on a v5e — nearly all of it XLA while-loop
+    per-step overhead and fusion-boundary traffic, not arithmetic. This
+    kernel keeps EVERYTHING in VMEM and runs the recursion as one Pallas
+    `fori_loop`: per step a handful of (n, n) MXU dots + an unrolled m x m
+    Cholesky solve, with the (V_x, V_xx) carry in registers/VMEM values.
+
+    Same update law as ``riccati_backward`` (see the batched kernel's
+    docstring for the symmetric-by-construction V' form). Returns
+    (k_seq (H, m), big_k_seq (H, m, n), v_x_seq (H+1, n),
+    v_xx_seq (H+1, n, n)) — the full RiccatiResult payload (the value
+    sequences cost one tiny extra VMEM store per step).
+    """
+    horizon, n, _ = a_seq.shape
+    m = b_seq.shape[-1]
+    dtype = a_seq.dtype
+    reg_c = float(reg)
+
+    # Per-block dots with pre-transposed operands. A "fewer, bigger dots"
+    # variant (one stacked [A|B]' V [A|B] dot) was tried and REJECTED: the
+    # q_all block slices carry vreg offset layouts that force relayouts
+    # (and tripped Mosaic concat limitations), costing 5x compile time and
+    # ~20% runtime vs this form.
+    at_seq = jnp.swapaxes(a_seq, -1, -2)  # pre-transposed outside the kernel
+    bt_seq = jnp.swapaxes(b_seq, -1, -2)
+    luxt_seq = jnp.swapaxes(cost_exp.l_ux, -1, -2)
+
+    def kernel(a_r, at_r, b_r, bt_r, lx_r, lu_r, lxx_r, luu_r, lux_r, luxt_r,
+               vxf_r, vxxf_r, k_out, bigk_out, vx_out, vxx_out):
+
+        vx_out[horizon] = vxf_r[0]
+        vxx_out[horizon] = vxxf_r[...]
+
+        def dot(x, y):
+            # HIGHEST: default MXU precision is bf16 passes, which costs
+            # ~1.4e-3 relative error over an H=100 recursion (measured vs
+            # the scan form); full-f32 passes on these tiny (<=12x12) dots
+            # are latency-free and bring the gap to scan-form level.
+            return jnp.dot(
+                x, y,
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def step(i, carry):
+            vx, vxx = carry  # (1, n), (n, n)
+            t = horizon - 1 - i
+            a = a_r[t]
+            at = at_r[t]
+            b = b_r[t]
+            bt = bt_r[t]
+
+            t1 = dot(vxx, a)  # (n, n)
+            t3 = dot(vxx, b)  # (n, m)
+            qxx = lxx_r[t] + dot(at, t1)
+            qux = lux_r[t] + dot(bt, t1)  # (m, n)
+            quxt = luxt_r[t] + dot(at, t3)  # (n, m)
+            quu = luu_r[t] + dot(bt, t3)  # (m, m)
+            qx = lx_r[t] + dot(vx, a)  # (1, n)
+            qu = lu_r[t] + dot(vx, b)  # (1, m)
+
+            # Unrolled Cholesky of Q_uu + reg I; rows as (1, .) vectors.
+            chol = [[None] * m for _ in range(m)]
+            for j in range(m):
+                diag = quu[j, j] + reg_c
+                for s in range(j):
+                    diag = diag - chol[j][s] * chol[j][s]
+                ljj = jnp.sqrt(diag)
+                chol[j][j] = ljj
+                inv_ljj = 1.0 / ljj
+                for i2 in range(j + 1, m):
+                    off = quu[j, i2]  # symmetric
+                    for s in range(j):
+                        off = off - chol[i2][s] * chol[j][s]
+                    chol[i2][j] = off * inv_ljj
+
+            # Solve (Q_uu + reg I) sol = [Q_u^T | Q_ux] row-wise over (1+n)
+            # columns: rhs row i is a (1, 1+n) vector.
+            rhs = jnp.concatenate([jnp.swapaxes(qu, 0, 1), qux], axis=1)  # (m, 1+n)
+            ys = []
+            for i2 in range(m):
+                acc = rhs[i2 : i2 + 1, :]
+                for s in range(i2):
+                    acc = acc - chol[i2][s] * ys[s]
+                ys.append(acc / chol[i2][i2])
+            xs = [None] * m
+            for i2 in reversed(range(m)):
+                acc = ys[i2]
+                for s in range(i2 + 1, m):
+                    acc = acc - chol[s][i2] * xs[s]
+                xs[i2] = acc / chol[i2][i2]
+            sol = jnp.concatenate(xs, axis=0)  # (m, 1+n) = [g_u | G]
+            g_u = sol[:, :1]  # (m, 1)
+            g_x = sol[:, 1:]  # (m, n)
+
+            k_out[t] = -sol[:, 0]
+            bigk_out[t] = -g_x
+
+            # V' in the symmetric-by-construction form (see batched kernel):
+            #   V_xx' = Q_xx - G'Q_ux - reg G'G
+            #   V_x'  = Q_x + K'(Q_uu k + Q_u) + Q_ux' k,  K = -G, k = -g_u.
+            gxt = jnp.swapaxes(g_x, 0, 1)  # (n, m)
+            vxx_new = qxx - dot(gxt, qux) - reg_c * dot(gxt, g_x)
+            inner = -dot(quu, g_u) + jnp.swapaxes(qu, 0, 1)  # (m, 1)
+            vx_new = (
+                qx
+                - jnp.swapaxes(dot(gxt, inner), 0, 1)
+                - jnp.swapaxes(dot(quxt, g_u), 0, 1)
+            )
+            vx_out[t] = vx_new[0]
+            vxx_out[t] = vxx_new
+            return (vx_new, vxx_new)
+
+        jax.lax.fori_loop(
+            0, horizon, step, (vxf_r[...], vxxf_r[...])
+        )
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    k_seq, big_k_seq, v_x_seq, v_xx_seq = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((horizon, m), dtype),
+            jax.ShapeDtypeStruct((horizon, m, n), dtype),
+            jax.ShapeDtypeStruct((horizon + 1, n), dtype),
+            jax.ShapeDtypeStruct((horizon + 1, n, n), dtype),
+        ],
+        in_specs=[vmem() for _ in range(12)],
+        out_specs=[vmem() for _ in range(4)],
+        interpret=interpret,
+    )(
+        a_seq, at_seq, b_seq, bt_seq,
+        cost_exp.l_x[:, None, :], cost_exp.l_u[:, None, :],
+        cost_exp.l_xx, cost_exp.l_uu, cost_exp.l_ux, luxt_seq,
+        v_x_final[None, :], v_xx_final,
+    )
+    return k_seq, big_k_seq, v_x_seq, v_xx_seq

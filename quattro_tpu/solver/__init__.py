@@ -20,8 +20,15 @@ from quattro_tpu.solver.riccati import (
     riccati_backward_segment,
     riccati_backward_associative,
     riccati_backward_auto,
+    riccati_backward_fused,
 )
-from quattro_tpu.solver.rollout import simulate, trajectory_cost, feedback_rollout, line_search
+from quattro_tpu.solver.rollout import (
+    simulate,
+    trajectory_cost,
+    feedback_rollout,
+    line_search,
+    line_search_fused,
+)
 from quattro_tpu.solver.ilqr import (
     ILQRConfig,
     ILQRSolution,
@@ -43,10 +50,12 @@ __all__ = [
     "riccati_backward_segment",
     "riccati_backward_associative",
     "riccati_backward_auto",
+    "riccati_backward_fused",
     "simulate",
     "trajectory_cost",
     "feedback_rollout",
     "line_search",
+    "line_search_fused",
     "ILQRConfig",
     "ILQRSolution",
     "ilqr_solve",

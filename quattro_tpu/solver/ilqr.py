@@ -33,10 +33,12 @@ from quattro_tpu.solver.riccati import (
     riccati_backward,
     riccati_backward_associative,
     riccati_backward_auto,
+    riccati_backward_fused,
 )
 from quattro_tpu.solver.rollout import (
     DEFAULT_ALPHAS,
     line_search,
+    line_search_fused,
     simulate,
     trajectory_cost,
 )
@@ -62,6 +64,10 @@ class ILQRConfig(NamedTuple):
       where the batch axis already fills the MXU and each associative
       combine costs ~12x a plain Riccati step — docs/DESIGN.md §2).
     - ``"seq"`` / ``"assoc"``: force one form.
+    - ``"fused"``: the single-trajectory fused Pallas kernel — fastest
+      measured at every single-trajectory shape (1.3-1.6x over "assoc") but
+      ~5 min of Mosaic compile per new shape; opt-in for latency-critical
+      deployments with a warm persistent compile cache.
 
     ``batch_hint`` is the trajectory-batch width the solve will be vmapped
     over (static under jit; the solver cannot see an enclosing vmap).
@@ -87,8 +93,12 @@ class ILQRConfig(NamedTuple):
     reg_factor: float = 10.0
     reg_max: float = 1e2
     chol_solve: bool = True  # unrolled small-matrix Cholesky for Q_uu solves
-    riccati: str = "auto"  # "auto" | "seq" | "assoc"
+    riccati: str = "auto"  # "auto" | "seq" | "assoc" | "fused"
     batch_hint: int = 1
+    # "xla": all-alpha vmapped scan; "fused": one Pallas kernel with the
+    # dynamics traced in (ops/fused_rollout.py) — the single-trajectory
+    # latency fast path, same Mosaic-compile-cost caveat as riccati="fused".
+    linesearch: str = "xla"
 
 
 class ILQRSolution(NamedTuple):
@@ -127,9 +137,30 @@ def _backward(config: ILQRConfig):
         return riccati_backward
     if config.riccati == "assoc":
         return riccati_backward_associative
+    if config.riccati == "fused":
+        if config.adaptive_reg:
+            raise ValueError(
+                "riccati='fused' bakes reg into the kernel as a literal; "
+                "the adaptive LM mu-schedule needs riccati='seq'|'assoc'|'auto'"
+            )
+        # The solve loop carries reg as a traced scalar (for the LM mode);
+        # the kernel needs the static value — substitute config.reg.
+        return lambda a, b, e, vx, vxx, reg, use_chol: riccati_backward_fused(
+            a, b, e, vx, vxx, config.reg, use_chol
+        )
     if config.riccati == "auto":
         return partial(riccati_backward_auto, batch_size=config.batch_hint)
-    raise ValueError(f"Unknown riccati mode: {config.riccati!r} (auto|seq|assoc)")
+    raise ValueError(
+        f"Unknown riccati mode: {config.riccati!r} (auto|seq|assoc|fused)"
+    )
+
+
+def _line_search(config: ILQRConfig):
+    if config.linesearch == "xla":
+        return line_search
+    if config.linesearch == "fused":
+        return line_search_fused
+    raise ValueError(f"Unknown linesearch mode: {config.linesearch!r} (xla|fused)")
 
 
 def _ilqr_iteration(
@@ -159,7 +190,7 @@ def _ilqr_iteration(
     )
 
     alphas = jnp.asarray(config.alphas, dtype=x_seq.dtype)
-    found, alpha, new_x, new_u, new_cost = line_search(
+    found, alpha, new_x, new_u, new_cost = _line_search(config)(
         dynamics, cost, final_cost, x0, x_seq, u_seq, res.k_seq, res.big_k_seq,
         current_cost, alphas,
     )
@@ -367,7 +398,7 @@ def hybrid_ilqr_solve(
         big_k_full = jnp.concatenate([big_k_head, res.big_k_seq], axis=0)
 
         alphas = jnp.asarray(config.alphas, dtype=x_seq.dtype)
-        found, alpha, new_x, new_u, new_cost = line_search(
+        found, alpha, new_x, new_u, new_cost = _line_search(config)(
             dynamics, cost, final_cost, x0, x_seq, u_seq, k_full, big_k_full,
             current_cost, alphas,
         )

@@ -361,3 +361,37 @@ def riccati_backward_auto(
             a_seq, b_seq, cost_exp, v_x_final, v_xx_final, reg, use_chol
         )
     return riccati_backward(a_seq, b_seq, cost_exp, v_x_final, v_xx_final, reg, use_chol)
+
+
+def riccati_backward_fused(
+    a_seq: jnp.ndarray,
+    b_seq: jnp.ndarray,
+    cost_exp: CostExpansion,
+    v_x_final: jnp.ndarray,
+    v_xx_final: jnp.ndarray,
+    reg: float = 1e-6,
+    use_chol: bool = True,
+) -> RiccatiResult:
+    """Single-trajectory fused Pallas backward pass (the MPC-latency kernel).
+
+    The whole recursion runs as one VMEM-resident kernel
+    (ops/fused_riccati.py::riccati_backward_fused_single) — measured 1.33x
+    over the associative scan at H=100 and 1.59x at H=1024 on a v5e (the
+    scan forms are XLA-loop-overhead-bound at these tiny shapes). Same
+    update law and full RiccatiResult payload. ``use_chol`` is accepted for
+    signature parity (the kernel's solve is always the unrolled Cholesky);
+    ``reg`` must be static (baked into the kernel). Off-TPU the kernel runs
+    in interpret mode (correct but slow — meant for tests).
+
+    Select via ``ILQRConfig(riccati="fused")``. Not the "auto" default: the
+    kernel costs ~5 min of Mosaic compile per shape (amortized by the
+    persistent compilation cache), which is the wrong default for
+    interactive use.
+    """
+    from quattro_tpu.ops.fused_riccati import riccati_backward_fused_single
+
+    interpret = jax.default_backend() != "tpu"
+    k_seq, big_k_seq, v_x_seq, v_xx_seq = riccati_backward_fused_single(
+        a_seq, b_seq, cost_exp, v_x_final, v_xx_final, reg, interpret=interpret
+    )
+    return RiccatiResult(k_seq, big_k_seq, v_x_seq, v_xx_seq)

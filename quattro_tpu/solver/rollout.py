@@ -109,7 +109,49 @@ def line_search(
         )
 
     cand_x, cand_u, cand_cost = jax.vmap(rollout)(alphas)
+    return _first_accept_select(
+        cand_x, cand_u, cand_cost, x_ref_seq, u_ref_seq, current_cost, alphas
+    )
 
+
+def line_search_fused(
+    dynamics: Dynamics,
+    cost: RunningCost,
+    final_cost: FinalCost,
+    x0: jnp.ndarray,
+    x_ref_seq: jnp.ndarray,
+    u_ref_seq: jnp.ndarray,
+    k_seq: jnp.ndarray,
+    big_k_seq: jnp.ndarray,
+    current_cost: jnp.ndarray,
+    alphas: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``line_search`` with the rollouts run as ONE Pallas kernel.
+
+    Same accept semantics and return contract; the all-alpha closed-loop
+    rollout happens inside a single VMEM-resident kernel that the user's
+    dynamics are traced into (ops/fused_rollout.py — removes the XLA
+    while-loop per-step overhead that dominates at MPC shapes). Candidate
+    costs and the first-accept select stay in XLA (fully parallel).
+    Off-TPU the kernel runs in interpret mode (tests); select via
+    ``ILQRConfig(linesearch="fused")``.
+    """
+    from quattro_tpu.ops.fused_rollout import fused_feedback_rollouts
+
+    interpret = jax.default_backend() != "tpu"
+    cand_x, cand_u = fused_feedback_rollouts(
+        dynamics, x0, x_ref_seq, u_ref_seq, k_seq, big_k_seq, alphas,
+        interpret=interpret,
+    )
+    cand_cost = jax.vmap(lambda xs, us: trajectory_cost(cost, final_cost, xs, us))(
+        cand_x, cand_u
+    )
+    return _first_accept_select(
+        cand_x, cand_u, cand_cost, x_ref_seq, u_ref_seq, current_cost, alphas
+    )
+
+
+def _first_accept_select(cand_x, cand_u, cand_cost, x_ref_seq, u_ref_seq, current_cost, alphas):
     accepted = cand_cost <= current_cost
     found = jnp.any(accepted)
     # argmax over bool returns the first True; alphas are ordered descending.

@@ -127,3 +127,47 @@ def test_fused_multi_batch_tile():
     )
     np.testing.assert_allclose(np.asarray(k), np.asarray(k_ref), rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(np.asarray(big_k), np.asarray(big_k_ref), rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("horizon,n,m", [(20, 3, 2), (17, 12, 4), (8, 4, 1)])
+def test_fused_single_matches_scan_f64(horizon, n, m):
+    """Single-trajectory fused kernel vs the sequential scan (exact in f64)."""
+    from quattro_tpu.ops.fused_riccati import riccati_backward_fused_single
+
+    a, b, exp, v_x, v_xx = _random_problem(1, horizon, n, m, jnp.float64, seed=11)
+    sq = lambda x: x[0]
+    a, b, v_x, v_xx = sq(a), sq(b), sq(v_x), sq(v_xx)
+    exp = jax.tree.map(sq, exp)
+    reg = 1e-6
+    ref = riccati_backward(a, b, exp, v_x, v_xx, reg)
+    k, big_k, v_x_seq, v_xx_seq = riccati_backward_fused_single(
+        a, b, exp, v_x, v_xx, reg, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(k), np.asarray(ref.k_seq), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(big_k), np.asarray(ref.big_k_seq), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_x_seq), np.asarray(ref.v_x_seq), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_xx_seq), np.asarray(ref.v_xx_seq), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_fused_riccati_mode_in_solver():
+    """`ILQRConfig(riccati="fused")` runs the full solve through the fused
+    kernel (interpret off-TPU) and matches the seq mode."""
+    from quattro_tpu.solver import ILQRConfig, ilqr_solve, make_quadratic_cost, make_quadratic_final_cost
+    from quattro_tpu.systems import cartpole_dynamics, make_discrete
+
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), jnp.zeros(4))
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), jnp.zeros(4))
+    x0 = jnp.array([0.15, 0.0, 0.2, 0.0])
+    u0 = jnp.zeros((16, 1))
+    ref = ilqr_solve(dyn, cost, fcost, x0, u0, ILQRConfig(tol=1e-1, riccati="seq"))
+    got = ilqr_solve(dyn, cost, fcost, x0, u0, ILQRConfig(tol=1e-1, riccati="fused"))
+    assert int(got.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(float(got.cost), float(ref.cost), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.u_seq), np.asarray(ref.u_seq), atol=1e-8)

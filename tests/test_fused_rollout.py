@@ -1,0 +1,118 @@
+"""Fused line-search rollout kernel (ops/fused_rollout.py) vs the XLA scan.
+
+Interpret mode (CPU) checks exact agreement in f64; the solver-level test
+pins that `ILQRConfig(linesearch="fused")` reproduces the default solve.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quattro_tpu.ops.fused_rollout import fused_feedback_rollouts
+from quattro_tpu.solver import (
+    ILQRConfig,
+    ilqr_solve,
+    line_search,
+    line_search_fused,
+    make_quadratic_cost,
+    make_quadratic_final_cost,
+)
+from quattro_tpu.solver.rollout import feedback_rollout
+from quattro_tpu.systems import (
+    cartpole_dynamics,
+    make_discrete,
+    quadrotor_dynamics,
+)
+
+
+def _quad_setup(horizon=17, dtype=jnp.float64, seed=3):
+    dyn = make_discrete(quadrotor_dynamics, 0.01, "rk4")
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x0 = 0.1 * jax.random.normal(k1, (12,), dtype)
+    x_ref = 0.1 * jax.random.normal(k2, (horizon + 1, 12), dtype)
+    u_ref = 2.4525 + 0.1 * jax.random.normal(k3, (horizon, 4), dtype)
+    k_seq = 0.05 * jax.random.normal(k4, (horizon, 4), dtype)
+    big_k = 0.05 * jax.random.normal(k1, (horizon, 4, 12), dtype)
+    return dyn, x0, x_ref, u_ref, k_seq, big_k
+
+
+@pytest.mark.parametrize("system", ["quadrotor", "cartpole"])
+def test_fused_rollouts_match_vmapped_scan(system):
+    if system == "quadrotor":
+        dyn, x0, x_ref, u_ref, k_seq, big_k = _quad_setup()
+    else:
+        dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+        key = jax.random.PRNGKey(7)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        horizon = 12
+        x0 = 0.1 * jax.random.normal(k1, (4,), jnp.float64)
+        x_ref = 0.1 * jax.random.normal(k2, (horizon + 1, 4), jnp.float64)
+        u_ref = 0.5 * jax.random.normal(k3, (horizon, 1), jnp.float64)
+        k_seq = 0.1 * jax.random.normal(k4, (horizon, 1), jnp.float64)
+        big_k = 0.1 * jax.random.normal(k1, (horizon, 1, 4), jnp.float64)
+
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.05, 0.01], x0.dtype)
+    cand_x, cand_u = fused_feedback_rollouts(
+        dyn, x0, x_ref, u_ref, k_seq, big_k, alphas, interpret=True
+    )
+
+    def ref_rollout(alpha):
+        cost = lambda x, u: jnp.asarray(0.0, x.dtype)
+        fcost = lambda x: jnp.asarray(0.0, x.dtype)
+        xs, us, _ = feedback_rollout(
+            dyn, cost, fcost, x0, x_ref, u_ref, k_seq, big_k, alpha
+        )
+        return xs, us
+
+    ref_x, ref_u = jax.vmap(ref_rollout)(alphas)
+    np.testing.assert_allclose(np.asarray(cand_x), np.asarray(ref_x), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cand_u), np.asarray(ref_u), rtol=1e-12, atol=1e-12)
+
+
+def test_line_search_fused_matches_xla():
+    dyn, x0, x_ref, u_ref, k_seq, big_k = _quad_setup(horizon=14, seed=5)
+    x_goal = jnp.zeros(12, x_ref.dtype).at[2].set(0.5)
+    cost = make_quadratic_cost(
+        jnp.full((12,), 1.0), jnp.full((4,), 0.01), x_goal, barrier_alpha=1000.0
+    )
+    fcost = make_quadratic_final_cost(jnp.full((12,), 10.0), x_goal)
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.05, 0.01], x0.dtype)
+    current = jnp.asarray(1e6, x0.dtype)  # force an accept
+
+    ref = line_search(dyn, cost, fcost, x0, x_ref, u_ref, k_seq, big_k, current, alphas)
+    got = line_search_fused(dyn, cost, fcost, x0, x_ref, u_ref, k_seq, big_k, current, alphas)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-11, atol=1e-11)
+
+
+def test_fused_linesearch_mode_in_solver():
+    """Full cart-pole solve with linesearch="fused" matches the default."""
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(
+        jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), jnp.zeros(4)
+    )
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), jnp.zeros(4))
+    x0 = jnp.array([0.15, 0.0, 0.2, 0.0])
+    u0 = jnp.zeros((16, 1))
+    ref = ilqr_solve(dyn, cost, fcost, x0, u0, ILQRConfig(tol=1e-1))
+    got = ilqr_solve(
+        dyn, cost, fcost, x0, u0, ILQRConfig(tol=1e-1, linesearch="fused")
+    )
+    assert int(got.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(float(got.cost), float(ref.cost), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.u_seq), np.asarray(ref.u_seq), atol=1e-8)
+
+
+def test_unknown_linesearch_mode_raises():
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(
+        jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), jnp.zeros(4)
+    )
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), jnp.zeros(4))
+    with pytest.raises(ValueError, match="linesearch"):
+        ilqr_solve(
+            dyn, cost, fcost, jnp.zeros(4), jnp.zeros((4, 1)),
+            ILQRConfig(linesearch="nope"),
+        )
