@@ -483,12 +483,18 @@ def bench_fused_latency():
         "fused_s": _time_pipelined(f_lsf, ls_args),
     }
 
-    for label, cfg in (
-        ("assoc_xla", ILQRConfig(tol=0.0, max_iter=6, riccati="assoc")),
-        ("fused_xla", ILQRConfig(tol=0.0, max_iter=6, riccati="fused")),
-        ("fused_fused", ILQRConfig(tol=0.0, max_iter=6, riccati="fused", linesearch="fused")),
+    from quattro_tpu.solver import ilqr_solve_fused
+
+    for label, solve_fn, cfg in (
+        ("assoc_xla", ilqr_solve, ILQRConfig(tol=0.0, max_iter=6, riccati="assoc")),
+        ("fused_xla", ilqr_solve, ILQRConfig(tol=0.0, max_iter=6, riccati="fused")),
+        ("fused_fused", ilqr_solve,
+         ILQRConfig(tol=0.0, max_iter=6, riccati="fused", linesearch="fused")),
+        ("megakernel", ilqr_solve_fused, ILQRConfig(tol=0.0, max_iter=6)),
     ):
-        f_solve = jax.jit(lambda xi: ilqr_solve(dyn, cost, fcost, xi, u0, cfg).cost)
+        f_solve = jax.jit(
+            lambda xi, _s=solve_fn, _c=cfg: _s(dyn, cost, fcost, xi, u0, _c).cost
+        )
         sec = _time_pipelined(f_solve, (x0,))
         results[f"solve_H100_{label}"] = {
             "seconds": sec,

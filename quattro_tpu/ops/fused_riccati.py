@@ -334,6 +334,94 @@ def riccati_backward_batched_fused(
     return k_seq, big_k_seq
 
 
+def make_tile_dot(dtype):
+    """In-kernel dot with full-f32 passes.
+
+    HIGHEST: default MXU precision is bf16 passes, which costs ~1.4e-3
+    relative error over an H=100 recursion (measured vs the scan form);
+    full-f32 passes on these tiny (<=12x12) dots are latency-free and bring
+    the gap to scan-form level.
+    """
+
+    def dot(x, y):
+        return jnp.dot(
+            x, y,
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    return dot
+
+
+def riccati_step_tiles(a, at, b, bt, lx, lu, lxx, luu, lux, luxt, vx, vxx,
+                       reg_c, dot):
+    """One Riccati backward step on 2-D tiles (shared by the single-
+    trajectory fused kernels; same update law as ``riccati_backward``).
+
+    Shapes: a/at (n, n), b (n, m), bt (m, n), lx (1, n), lu (1, m),
+    lxx (n, n), luu (m, m), lux (m, n), luxt (n, m), vx (1, n), vxx (n, n).
+    Returns (g_u (m, 1), g_x (m, n), vx_new (1, n), vxx_new (n, n)) with
+    gains k = -g_u[:, 0], K = -g_x.
+    """
+    m = luu.shape[0]
+
+    t1 = dot(vxx, a)  # (n, n)
+    t3 = dot(vxx, b)  # (n, m)
+    qxx = lxx + dot(at, t1)
+    qux = lux + dot(bt, t1)  # (m, n)
+    quxt = luxt + dot(at, t3)  # (n, m)
+    quu = luu + dot(bt, t3)  # (m, m)
+    qx = lx + dot(vx, a)  # (1, n)
+    qu = lu + dot(vx, b)  # (1, m)
+
+    # Unrolled Cholesky of Q_uu + reg I; rows as (1, .) vectors.
+    chol = [[None] * m for _ in range(m)]
+    for j in range(m):
+        diag = quu[j, j] + reg_c
+        for s in range(j):
+            diag = diag - chol[j][s] * chol[j][s]
+        ljj = jnp.sqrt(diag)
+        chol[j][j] = ljj
+        inv_ljj = 1.0 / ljj
+        for i2 in range(j + 1, m):
+            off = quu[j, i2]  # symmetric
+            for s in range(j):
+                off = off - chol[i2][s] * chol[j][s]
+            chol[i2][j] = off * inv_ljj
+
+    # Solve (Q_uu + reg I) sol = [Q_u^T | Q_ux] row-wise over (1+n)
+    # columns: rhs row i is a (1, 1+n) vector.
+    rhs = jnp.concatenate([jnp.swapaxes(qu, 0, 1), qux], axis=1)  # (m, 1+n)
+    ys = []
+    for i2 in range(m):
+        acc = rhs[i2 : i2 + 1, :]
+        for s in range(i2):
+            acc = acc - chol[i2][s] * ys[s]
+        ys.append(acc / chol[i2][i2])
+    xs = [None] * m
+    for i2 in reversed(range(m)):
+        acc = ys[i2]
+        for s in range(i2 + 1, m):
+            acc = acc - chol[s][i2] * xs[s]
+        xs[i2] = acc / chol[i2][i2]
+    sol = jnp.concatenate(xs, axis=0)  # (m, 1+n) = [g_u | G]
+    g_u = sol[:, :1]  # (m, 1)
+    g_x = sol[:, 1:]  # (m, n)
+
+    # V' in the symmetric-by-construction form (see batched kernel):
+    #   V_xx' = Q_xx - G'Q_ux - reg G'G
+    #   V_x'  = Q_x + K'(Q_uu k + Q_u) + Q_ux' k,  K = -G, k = -g_u.
+    gxt = jnp.swapaxes(g_x, 0, 1)  # (n, m)
+    vxx_new = qxx - dot(gxt, qux) - reg_c * dot(gxt, g_x)
+    inner = -dot(quu, g_u) + jnp.swapaxes(qu, 0, 1)  # (m, 1)
+    vx_new = (
+        qx
+        - jnp.swapaxes(dot(gxt, inner), 0, 1)
+        - jnp.swapaxes(dot(quxt, g_u), 0, 1)
+    )
+    return g_u, g_x, vx_new, vxx_new
+
+
 def riccati_backward_fused_single(
     a_seq: jnp.ndarray,  # (H, n, n)
     b_seq: jnp.ndarray,  # (H, n, m)
@@ -378,83 +466,18 @@ def riccati_backward_fused_single(
 
         vx_out[horizon] = vxf_r[0]
         vxx_out[horizon] = vxxf_r[...]
-
-        def dot(x, y):
-            # HIGHEST: default MXU precision is bf16 passes, which costs
-            # ~1.4e-3 relative error over an H=100 recursion (measured vs
-            # the scan form); full-f32 passes on these tiny (<=12x12) dots
-            # are latency-free and bring the gap to scan-form level.
-            return jnp.dot(
-                x, y,
-                preferred_element_type=dtype,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+        dot = make_tile_dot(dtype)
 
         def step(i, carry):
             vx, vxx = carry  # (1, n), (n, n)
             t = horizon - 1 - i
-            a = a_r[t]
-            at = at_r[t]
-            b = b_r[t]
-            bt = bt_r[t]
-
-            t1 = dot(vxx, a)  # (n, n)
-            t3 = dot(vxx, b)  # (n, m)
-            qxx = lxx_r[t] + dot(at, t1)
-            qux = lux_r[t] + dot(bt, t1)  # (m, n)
-            quxt = luxt_r[t] + dot(at, t3)  # (n, m)
-            quu = luu_r[t] + dot(bt, t3)  # (m, m)
-            qx = lx_r[t] + dot(vx, a)  # (1, n)
-            qu = lu_r[t] + dot(vx, b)  # (1, m)
-
-            # Unrolled Cholesky of Q_uu + reg I; rows as (1, .) vectors.
-            chol = [[None] * m for _ in range(m)]
-            for j in range(m):
-                diag = quu[j, j] + reg_c
-                for s in range(j):
-                    diag = diag - chol[j][s] * chol[j][s]
-                ljj = jnp.sqrt(diag)
-                chol[j][j] = ljj
-                inv_ljj = 1.0 / ljj
-                for i2 in range(j + 1, m):
-                    off = quu[j, i2]  # symmetric
-                    for s in range(j):
-                        off = off - chol[i2][s] * chol[j][s]
-                    chol[i2][j] = off * inv_ljj
-
-            # Solve (Q_uu + reg I) sol = [Q_u^T | Q_ux] row-wise over (1+n)
-            # columns: rhs row i is a (1, 1+n) vector.
-            rhs = jnp.concatenate([jnp.swapaxes(qu, 0, 1), qux], axis=1)  # (m, 1+n)
-            ys = []
-            for i2 in range(m):
-                acc = rhs[i2 : i2 + 1, :]
-                for s in range(i2):
-                    acc = acc - chol[i2][s] * ys[s]
-                ys.append(acc / chol[i2][i2])
-            xs = [None] * m
-            for i2 in reversed(range(m)):
-                acc = ys[i2]
-                for s in range(i2 + 1, m):
-                    acc = acc - chol[s][i2] * xs[s]
-                xs[i2] = acc / chol[i2][i2]
-            sol = jnp.concatenate(xs, axis=0)  # (m, 1+n) = [g_u | G]
-            g_u = sol[:, :1]  # (m, 1)
-            g_x = sol[:, 1:]  # (m, n)
-
-            k_out[t] = -sol[:, 0]
-            bigk_out[t] = -g_x
-
-            # V' in the symmetric-by-construction form (see batched kernel):
-            #   V_xx' = Q_xx - G'Q_ux - reg G'G
-            #   V_x'  = Q_x + K'(Q_uu k + Q_u) + Q_ux' k,  K = -G, k = -g_u.
-            gxt = jnp.swapaxes(g_x, 0, 1)  # (n, m)
-            vxx_new = qxx - dot(gxt, qux) - reg_c * dot(gxt, g_x)
-            inner = -dot(quu, g_u) + jnp.swapaxes(qu, 0, 1)  # (m, 1)
-            vx_new = (
-                qx
-                - jnp.swapaxes(dot(gxt, inner), 0, 1)
-                - jnp.swapaxes(dot(quxt, g_u), 0, 1)
+            g_u, g_x, vx_new, vxx_new = riccati_step_tiles(
+                a_r[t], at_r[t], b_r[t], bt_r[t],
+                lx_r[t], lu_r[t], lxx_r[t], luu_r[t], lux_r[t], luxt_r[t],
+                vx, vxx, reg_c, dot,
             )
+            k_out[t] = -g_u[:, 0]
+            bigk_out[t] = -g_x
             vx_out[t] = vx_new[0]
             vxx_out[t] = vxx_new
             return (vx_new, vxx_new)

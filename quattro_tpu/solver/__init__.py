@@ -32,6 +32,7 @@ from quattro_tpu.solver.rollout import (
 from quattro_tpu.solver.ilqr import (
     ILQRConfig,
     ILQRSolution,
+    ilqr_solve_fused,
     ilqr_solve,
     ilqr_solve_with_logs,
     hybrid_ilqr_solve,
@@ -59,6 +60,7 @@ __all__ = [
     "ILQRConfig",
     "ILQRSolution",
     "ilqr_solve",
+    "ilqr_solve_fused",
     "ilqr_solve_with_logs",
     "hybrid_ilqr_solve",
     "solve_dare",

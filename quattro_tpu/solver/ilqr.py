@@ -101,6 +101,29 @@ class ILQRConfig(NamedTuple):
     linesearch: str = "xla"
 
 
+# Fail fast on typo'd mode strings at construction rather than deep inside a
+# traced solve (the NamedTuple-generated __new__ accepts anything).
+_RICCATI_MODES = ("auto", "seq", "assoc", "fused")
+_LINESEARCH_MODES = ("xla", "fused")
+_config_new = ILQRConfig.__new__
+
+
+def _validated_config_new(cls, *args, **kwargs):
+    self = _config_new(cls, *args, **kwargs)
+    if self.riccati not in _RICCATI_MODES:
+        raise ValueError(
+            f"Unknown riccati mode: {self.riccati!r} (auto|seq|assoc|fused)"
+        )
+    if self.linesearch not in _LINESEARCH_MODES:
+        raise ValueError(
+            f"Unknown linesearch mode: {self.linesearch!r} (xla|fused)"
+        )
+    return self
+
+
+ILQRConfig.__new__ = _validated_config_new
+
+
 class ILQRSolution(NamedTuple):
     x_seq: jnp.ndarray  # (H+1, n)
     u_seq: jnp.ndarray  # (H, m)
@@ -252,6 +275,50 @@ def ilqr_solve(
         cond, body, init
     )
     return ILQRSolution(x_seq, u_seq, final_cost_val, iterations, done, k_seq, big_k_seq)
+
+
+def ilqr_solve_fused(
+    dynamics: Dynamics,
+    cost: RunningCost,
+    final_cost: FinalCost,
+    x0: jnp.ndarray,
+    u_init: jnp.ndarray,
+    config: ILQRConfig = ILQRConfig(),
+) -> ILQRSolution:
+    """``ilqr_solve`` with EVERY iteration phase fused into one Pallas kernel.
+
+    The entire solve loop — autodiff linearization/quadratization, backward
+    Riccati, all-alpha line search, convergence bookkeeping — runs inside a
+    single VMEM-resident kernel (ops/fused_solve.py), eliminating every
+    XLA fusion boundary and per-step loop dispatch. Identical convergence
+    semantics to ``ilqr_solve`` (fixed-trip masked iterations, the
+    ``ilqr_solve_with_logs`` equivalence construction).
+
+    Constraints: the dynamics/cost callables must lower through Mosaic
+    (standard jnp math does); static ``reg`` (no ``adaptive_reg``);
+    ``config.riccati``/``linesearch`` are ignored (everything is fused).
+    Off-TPU the kernel runs in interpret mode (slow — for tests).
+    """
+    from quattro_tpu.ops.fused_solve import fused_ilqr_solve_kernel
+
+    if config.adaptive_reg:
+        raise ValueError(
+            "ilqr_solve_fused bakes reg into the kernel as a literal; "
+            "the adaptive LM mu-schedule needs ilqr_solve"
+        )
+    x_init = simulate(dynamics, x0, u_init)
+    cost_init = trajectory_cost(cost, final_cost, x_init, u_init)
+    interpret = jax.default_backend() != "tpu"
+    x_seq, u_seq, k_seq, big_k_seq, stats = fused_ilqr_solve_kernel(
+        dynamics, cost, final_cost, x_init, u_init, cost_init,
+        config.max_iter, config.tol, config.reg, tuple(config.alphas),
+        interpret=interpret,
+    )
+    return ILQRSolution(
+        x_seq, u_seq, stats[0, 0],
+        stats[0, 1].astype(jnp.int32), stats[0, 2] > 0.5,
+        k_seq, big_k_seq,
+    )
 
 
 def ilqr_solve_with_logs(
