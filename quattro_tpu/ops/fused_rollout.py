@@ -74,9 +74,27 @@ def fused_feedback_rollouts(
     bigk_t = jnp.swapaxes(big_k_seq, -1, -2)  # (H, n, m)
     alpha_col = alphas[:, None].astype(dtype)  # (A, 1)
 
-    step_fn = jax.vmap(jax.vmap(dynamics))  # (1, A, n), (1, A, m) -> (1, A, n)
+    # Plants routinely close over arrays (parameter vectors, trim points);
+    # Pallas kernel bodies may not capture array constants, so hoist them to
+    # explicit kernel inputs exactly as the whole-solve kernel does.
+    from quattro_tpu.ops.fused_solve import _hoist_array_constants
 
-    def kernel(x0_r, xref_r, uref_r, k_r, bigkt_r, alpha_r, x_out, u_out):
+    dyn_conv, dyn_consts = _hoist_array_constants(
+        dynamics,
+        jax.ShapeDtypeStruct((n,), dtype),
+        jax.ShapeDtypeStruct((m,), dtype),
+    )
+    const_shapes = [jnp.shape(c) for c in dyn_consts]
+    const_rows = [jnp.reshape(jnp.asarray(c), (1, -1)) for c in dyn_consts]
+
+    def kernel(x0_r, xref_r, uref_r, k_r, bigkt_r, alpha_r, *refs):
+        const_refs = refs[: len(dyn_consts)]
+        x_out, u_out = refs[len(dyn_consts) :]
+        const_vals = [
+            jnp.reshape(r[...], shp) for r, shp in zip(const_refs, const_shapes)
+        ]
+        step_fn = jax.vmap(jax.vmap(lambda x, u: dyn_conv(x, u, *const_vals)))
+
         x_init = jnp.broadcast_to(x0_r[...], (n_alpha, n))
         x_out[0] = x_init
 
@@ -105,10 +123,10 @@ def fused_feedback_rollouts(
             jax.ShapeDtypeStruct((horizon + 1, n_alpha, n), dtype),
             jax.ShapeDtypeStruct((horizon, n_alpha, m), dtype),
         ],
-        in_specs=[vmem() for _ in range(6)],
+        in_specs=[vmem() for _ in range(6 + len(dyn_consts))],
         out_specs=[vmem() for _ in range(2)],
         interpret=interpret,
-    )(x0[None, :], xref_rows, uref_rows, k_rows, bigk_t, alpha_col)
+    )(x0[None, :], xref_rows, uref_rows, k_rows, bigk_t, alpha_col, *const_rows)
 
     # Time-major (dynamic leading-index stores) -> candidate-major.
     return jnp.swapaxes(x_tm, 0, 1), jnp.swapaxes(u_tm, 0, 1)

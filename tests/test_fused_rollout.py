@@ -71,6 +71,41 @@ def test_fused_rollouts_match_vmapped_scan(system):
     np.testing.assert_allclose(np.asarray(cand_u), np.asarray(ref_u), rtol=1e-12, atol=1e-12)
 
 
+def test_fused_rollouts_with_array_closure_plant():
+    """Plants closing over jnp arrays must lower (constants are hoisted to
+    kernel inputs — Pallas rejects captured array constants)."""
+    horizon = 9
+    drift = jnp.asarray([0.01, -0.02, 0.03, 0.0], jnp.float64)
+    gain_mat = 0.1 * jnp.eye(4, 1, dtype=jnp.float64)
+
+    def dyn(x, u):
+        return x + 0.01 * (drift + (gain_mat @ u) * jnp.sin(x))
+
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x0 = 0.1 * jax.random.normal(k1, (4,), jnp.float64)
+    x_ref = 0.1 * jax.random.normal(k2, (horizon + 1, 4), jnp.float64)
+    u_ref = 0.5 * jax.random.normal(k3, (horizon, 1), jnp.float64)
+    k_seq = 0.1 * jax.random.normal(k4, (horizon, 1), jnp.float64)
+    big_k = 0.1 * jax.random.normal(k1, (horizon, 1, 4), jnp.float64)
+    alphas = jnp.asarray([1.0, 0.5, 0.1], jnp.float64)
+
+    cand_x, cand_u = fused_feedback_rollouts(
+        dyn, x0, x_ref, u_ref, k_seq, big_k, alphas, interpret=True
+    )
+
+    def ref_rollout(alpha):
+        zero = lambda *a: jnp.asarray(0.0, x0.dtype)
+        xs, us, _ = feedback_rollout(
+            dyn, zero, zero, x0, x_ref, u_ref, k_seq, big_k, alpha
+        )
+        return xs, us
+
+    ref_x, ref_u = jax.vmap(ref_rollout)(alphas)
+    np.testing.assert_allclose(np.asarray(cand_x), np.asarray(ref_x), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cand_u), np.asarray(ref_u), atol=1e-12)
+
+
 def test_line_search_fused_matches_xla():
     dyn, x0, x_ref, u_ref, k_seq, big_k = _quad_setup(horizon=14, seed=5)
     x_goal = jnp.zeros(12, x_ref.dtype).at[2].set(0.5)
