@@ -195,18 +195,20 @@ def bench_hybrid_speedup():
     # proposition grows with H — the exact backward pass is a latency-bound
     # sequential/log-depth chain while the learned head is one parallel
     # forward. Uses the own-trained H=256 checkpoint when shipped.
-    h256 = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                        "checkpoints", "quadrotor_h256_gain.npz")
-    if os.path.exists(h256):
-        systems["quadrotor_H256"] = dict(
-            dyn=make_discrete(quadrotor_dynamics, 0.01, "rk4"),
-            n=12, m=4, horizon=256,
-            prompt=int(GainPredictor.load(h256).prompt_len),
-            q=quad_q, r=jnp.full((4,), 0.01), qf=quad_qf,
-            x_ref=jnp.zeros(12).at[2].set(0.5),
-            x0=jnp.zeros(12).at[2].set(0.2).at[6].set(0.1), barrier=1000.0,
-            load=lambda: GainPredictor.load(h256),
-        )
+    ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                            "checkpoints")
+    for h in (256, 1024):
+        path = os.path.join(ckpt_dir, f"quadrotor_h{h}_gain.npz")
+        if os.path.exists(path):
+            systems[f"quadrotor_H{h}"] = dict(
+                dyn=make_discrete(quadrotor_dynamics, 0.01, "rk4"),
+                n=12, m=4, horizon=h,
+                prompt=int(GainPredictor.load(path).prompt_len),
+                q=quad_q, r=jnp.full((4,), 0.01), qf=quad_qf,
+                x_ref=jnp.zeros(12).at[2].set(0.5),
+                x0=jnp.zeros(12).at[2].set(0.2).at[6].set(0.1), barrier=1000.0,
+                load=lambda p=path: GainPredictor.load(p),
+            )
     iters = 4
     for label, cfg in systems.items():
         cost = make_quadratic_cost(cfg["q"], cfg["r"], cfg["x_ref"], barrier_alpha=cfg["barrier"])

@@ -254,7 +254,7 @@ def main() -> None:
     print(json.dumps({
         "rows": int(dataset.x_data.shape[0]),
         "params": int(result.predictor.num_params()),
-        "final_train_loss": float(result.train_loss_history[-1]),
+        "final_train_loss": float(result.train_loss_history[-1]) if len(result.train_loss_history) else None,
         "final_test_loss": float(result.test_loss_history[-1]) if len(result.test_loss_history) else None,
         "checkpoint": args.out,
     }))
