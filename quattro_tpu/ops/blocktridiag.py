@@ -33,7 +33,7 @@ diagonal block is a sum of PSD terms with Z_r PD, so the system is SPD.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

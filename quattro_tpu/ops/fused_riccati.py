@@ -41,7 +41,6 @@ res.big_k_seq only).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -10,7 +10,7 @@ its shard and only converged-cost reductions cross the interconnect.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

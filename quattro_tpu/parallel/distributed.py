@@ -28,7 +28,6 @@ import os
 from typing import Optional, Sequence, Tuple
 
 import jax
-import numpy as np
 
 from quattro_tpu.parallel.mesh import make_mesh
 
@@ -39,9 +38,7 @@ _ENV_PID = "JAX_PROCESS_ID"
 
 def is_initialized() -> bool:
     """True once this process has joined a distributed runtime."""
-    from jax._src.distributed import global_state
-
-    return global_state.client is not None
+    return jax.distributed.is_initialized()
 
 
 def initialize(

@@ -21,12 +21,11 @@ on a CPU-emulated mesh (tests/conftest.py forces 8 virtual devices).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh, PartitionSpec
 
 from quattro_tpu.solver.derivatives import CostExpansion
 from quattro_tpu.solver.riccati import (

@@ -14,7 +14,6 @@ with a vmap over the locally-resident batch shard inside one shard_map.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

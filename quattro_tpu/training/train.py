@@ -21,7 +21,7 @@ Scaling (VERDICT r1 weak #9 closed):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
