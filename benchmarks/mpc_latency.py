@@ -48,9 +48,19 @@ def build(mode: str):
             prompt_len=pred.prompt_len,
             exact_fallback=(mode == "hybrid_certified"),
         )
+    elif mode == "ilqr_fused":
+        # Single-trajectory fused Pallas backward kernel (~5 min Mosaic
+        # compile when cold; persistent cache applies).
+        ctrl = make_quadrotor_mpc(horizon=50, riccati="fused")
+    elif mode == "ilqr_megakernel":
+        # Whole solve as ONE Pallas kernel, FIXED 6 masked iterations:
+        # deterministic (jitter-free) step latency — the hard-real-time
+        # configuration. A warm-started H=50 hover step converges in <= 6.
+        ctrl = make_quadrotor_mpc(horizon=50, solver="megakernel", max_iter=6)
     else:
         # parallel_riccati: associative-scan backward pass — wins at every
-        # single-trajectory horizon (docs/DESIGN.md §2; 4.4 -> 3.8 ms/step).
+        # single-trajectory horizon among XLA forms (docs/DESIGN.md §2;
+        # 4.4 -> 3.8 ms/step).
         ctrl = make_quadrotor_mpc(horizon=50, parallel_riccati=True)
     return ctrl
 
@@ -105,7 +115,7 @@ def main():
     args = parser.parse_args()
 
     results = {"backend": jax.default_backend()}
-    for mode in ("ilqr", "hybrid", "hybrid_certified"):
+    for mode in ("ilqr", "ilqr_fused", "ilqr_megakernel", "hybrid", "hybrid_certified"):
         host_in_loop, device = measure(build(mode))
         results[mode] = {
             "host_in_loop_ms_per_step": host_in_loop * 1e3,
@@ -121,8 +131,10 @@ def main():
         with open(base_path) as f:
             base = json.load(f)
         ref = base.get("reference_mpc_step_ms", {})
-        for mode in ("ilqr", "hybrid"):
-            key = {"ilqr": "pure", "hybrid": "hybrid"}[mode]
+        # All ilqr* rows solve the identical pure problem the reference's
+        # "pure" number measures; hybrid maps to the reference hybrid step.
+        for mode in ("ilqr", "ilqr_fused", "ilqr_megakernel", "hybrid"):
+            key = "hybrid" if mode == "hybrid" else "pure"
             if key in ref:
                 ours = results[mode]["device_ms_per_step"]
                 results[mode]["vs_reference_same_host"] = ref[key] / ours

@@ -29,6 +29,7 @@ from quattro_tpu.solver.ilqr import (
     GainPredictFn,
     hybrid_ilqr_solve,
     ilqr_solve,
+    ilqr_solve_fused,
 )
 from quattro_tpu.solver.lqr import lqr_gain
 from quattro_tpu.control.switcher import blending_weight
@@ -79,6 +80,7 @@ def build_mpc(
     lqr_matrices: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
     blend_epsilon: Tuple[float, float] = (0.5, 1.5),
     exact_fallback: bool = True,
+    solver: str = "while",
 ) -> MPCController:
     """Assemble and jit a control step for the requested mode.
 
@@ -89,11 +91,31 @@ def build_mpc(
     when per-step latency matters more: near the setpoint blend discards the
     hybrid solution for pure LQR, so the certification's extra exact backward
     pass there buys nothing.
+
+    ``solver`` selects the pure-iLQR solve implementation:
+
+    - ``"while"`` (default): ``ilqr_solve`` — ``lax.while_loop`` with dynamic
+      early exit; per-step latency varies with how many iterations the warm
+      start needs.
+    - ``"megakernel"``: ``ilqr_solve_fused`` — the whole solve (linearize,
+      Riccati, line search, bookkeeping) as ONE Pallas kernel with FIXED
+      ``config.max_iter`` masked trips: deterministic, jitter-free step
+      latency for hard real-time loops. Set ``config.max_iter`` to the
+      iteration budget (a warm-started receding-horizon step typically
+      converges in <= 6). Pure solves only (a ``predict_fn`` needs the
+      hybrid path); ``adaptive_reg`` is rejected by the kernel.
     """
     if mode in ("hybrid", "blend") and predict_fn is not None and prompt_len is None:
         raise ValueError("prompt_len is required when a predictor is supplied")
+    if solver not in ("while", "megakernel"):
+        raise ValueError(f"Unknown solver: {solver!r} (expected 'while' or 'megakernel')")
 
     use_predictor = predict_fn is not None
+    if solver == "megakernel" and use_predictor:
+        raise ValueError(
+            "solver='megakernel' fuses the pure iLQR solve; hybrid/predictor "
+            "controllers need solver='while'"
+        )
 
     if mode in ("lqr", "blend"):
         if lqr_matrices is None:
@@ -115,6 +137,8 @@ def build_mpc(
                 x, u_warm, x_ref, config, state_offset,
                 exact_fallback=exact_fallback,
             )
+        if solver == "megakernel":
+            return ilqr_solve_fused(dynamics, running_cost, final_cost, x, u_warm, config)
         return ilqr_solve(dynamics, running_cost, final_cost, x, u_warm, config)
 
     if mode == "lqr":
@@ -169,6 +193,8 @@ def make_cartpole_mpc(
     exact_fallback: bool = True,
     riccati: str = "auto",
     parallel_riccati: Optional[bool] = None,
+    solver: str = "while",
+    max_iter: int = 100,
 ) -> MPCController:
     """Cart-pole MPC with the reference's cost tables (cartpole_mpc.py:187-191).
 
@@ -199,11 +225,13 @@ def make_cartpole_mpc(
         b_d = dt * b_c
         lqr_matrices = (a_d, b_d, jnp.diag(jnp.array([1.0, 0.1, 10.0, 0.1])), jnp.diag(jnp.array([0.001])))
 
-    config = ILQRConfig(tol=tol, riccati=riccati, parallel_riccati=parallel_riccati)
+    config = ILQRConfig(
+        tol=tol, max_iter=max_iter, riccati=riccati, parallel_riccati=parallel_riccati
+    )
     return build_mpc(
         dyn, cost, fcost, x_ref, horizon, 1, config, mode=mode,
         predict_fn=predict_fn, prompt_len=prompt_len, lqr_matrices=lqr_matrices,
-        exact_fallback=exact_fallback,
+        exact_fallback=exact_fallback, solver=solver,
     )
 
 
@@ -219,6 +247,8 @@ def make_quadrotor_mpc(
     parallel_riccati: Optional[bool] = None,
     quad_params=None,
     exact_fallback: bool = True,
+    solver: str = "while",
+    max_iter: int = 100,
 ) -> MPCController:
     """Quadrotor hover MPC with the reference's cost tables + softplus barrier
     (quadrotor_mpc.py:40-47) and hover state offset z=0.5 (:64-66).
@@ -238,9 +268,11 @@ def make_quadrotor_mpc(
     fcost = make_quadratic_final_cost(qf, x_ref)
 
     state_offset = jnp.zeros(12).at[2].set(0.5)
-    config = ILQRConfig(tol=tol, riccati=riccati, parallel_riccati=parallel_riccati)
+    config = ILQRConfig(
+        tol=tol, max_iter=max_iter, riccati=riccati, parallel_riccati=parallel_riccati
+    )
     return build_mpc(
         dyn, cost, fcost, x_ref, horizon, 4, config, mode=mode,
         predict_fn=predict_fn, prompt_len=prompt_len, state_offset=state_offset,
-        exact_fallback=exact_fallback,
+        exact_fallback=exact_fallback, solver=solver,
     )

@@ -162,3 +162,40 @@ def test_hybrid_quadrotor_mujoco_closed_loop():
 
     final = plant.read_state()
     assert _np.linalg.norm(final - x_ref) < 0.08, f"hybrid did not reach hover: {final}"
+
+
+def test_megakernel_solver_matches_while_solver():
+    """`solver="megakernel"` (whole solve as ONE Pallas kernel, interpret
+    mode on CPU) drives the identical closed loop as the while-loop solver
+    with the sequential backward pass — control, plan, and warm-start carry,
+    across several receding-horizon steps. riccati="seq" on the reference
+    side because the megakernel implements the sequential update law (the
+    factory default "auto" resolves to the associative form, whose
+    regularization placement differs below solver tolerance)."""
+    from quattro_tpu.systems.cartpole import cartpole_dynamics
+    from quattro_tpu.systems.integrators import make_discrete
+
+    mega = make_cartpole_mpc(horizon=10, solver="megakernel", max_iter=3)
+    ref = make_cartpole_mpc(horizon=10, riccati="seq", max_iter=3)
+    plant = make_discrete(cartpole_dynamics, 0.01, "rk4")
+
+    x = jnp.array([0.15, 0.0, 0.2, 0.0])
+    sm, sr = mega.init_state(dtype=x.dtype), ref.init_state(dtype=x.dtype)
+    for _ in range(3):
+        u_m, plan_m, sm = mega.step(x, sm)
+        u_r, plan_r, sr = ref.step(x, sr)
+        np.testing.assert_allclose(np.asarray(u_m), np.asarray(u_r), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(plan_m), np.asarray(plan_r), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(sm.u_warm), np.asarray(sr.u_warm), atol=1e-8)
+        x = plant(x, u_m)
+
+
+def test_megakernel_solver_validation():
+    """Unknown solver names and megakernel+predictor are rejected at build."""
+    with pytest.raises(ValueError, match="solver"):
+        make_cartpole_mpc(solver="warp")
+    with pytest.raises(ValueError, match="megakernel"):
+        make_cartpole_mpc(
+            mode="hybrid", solver="megakernel",
+            predict_fn=lambda states, prompt: prompt, prompt_len=5,
+        )
