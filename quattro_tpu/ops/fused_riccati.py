@@ -429,7 +429,7 @@ def riccati_backward_fused_single(
     v_xx_final: jnp.ndarray,  # (n, n)
     reg: float = 1e-6,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-trajectory fused backward pass — the MPC-latency kernel.
 
     At MPC shapes the whole problem is tiny (H=100, n=12: ~170 KB of stage

@@ -29,7 +29,13 @@ from quattro_tpu.solver.rollout import line_search, simulate, trajectory_cost
 def _fused_backend_applies(config: ILQRConfig, x0_batch, u_init_batch) -> bool:
     """The fused Pallas backward pass handles: TPU backend, f32 data, a batch
     wide enough to fill lanes usefully, small (n, m), static reg (the LM
-    mu-schedule traces reg, which the kernel bakes as a literal)."""
+    mu-schedule traces reg, which the kernel bakes as a literal).
+
+    It also requires the solver config on its DEFAULT algorithm knobs: a
+    user who pins ``riccati=``/``parallel_riccati``/``linesearch`` is asking
+    for a specific algorithm (for reproducibility or A/B measurement), and
+    "auto" must not silently substitute the fused sequential-law kernel —
+    whose f32 summation order differs — for the requested form."""
     n = x0_batch.shape[-1]
     m = u_init_batch.shape[-1]
     return (
@@ -40,6 +46,9 @@ def _fused_backend_applies(config: ILQRConfig, x0_batch, u_init_batch) -> bool:
         and n <= 16
         and m <= 8
         and not config.adaptive_reg
+        and config.riccati == "auto"
+        and config.parallel_riccati is None
+        and config.linesearch == "xla"
     )
 
 
@@ -77,12 +86,20 @@ def batched_ilqr_solve(
     """
     if riccati_backend not in ("auto", "fused", "vmap"):
         raise ValueError(f"Unknown riccati_backend: {riccati_backend!r}")
+    if riccati_backend == "fused" and config.adaptive_reg:
+        raise ValueError(
+            "riccati_backend='fused' bakes reg into the kernel as a literal; "
+            "the adaptive LM mu-schedule needs riccati_backend='vmap'"
+        )
     use_fused = riccati_backend == "fused" or (
         riccati_backend == "auto" and _fused_backend_applies(config, x0_batch, u_init_batch)
     )
     if use_fused:
+        # Off-TPU a forced "fused" runs the kernel in interpret mode (slow —
+        # for tests), matching every other fused entry point.
         return _batched_ilqr_solve_fused(
-            dynamics, cost, final_cost, x0_batch, u_init_batch, config
+            dynamics, cost, final_cost, x0_batch, u_init_batch, config,
+            interpret=jax.default_backend() != "tpu",
         )
     if config.parallel_riccati is None and config.riccati == "auto":
         config = config._replace(batch_hint=max(config.batch_hint, x0_batch.shape[0]))
@@ -177,23 +194,39 @@ def sharded_ilqr_solve(
 ) -> ILQRSolution:
     """Batch solve with the batch axis sharded over the mesh.
 
-    The batch size must be divisible by the ``traj`` axis size. Each device
-    executes its shard of the vmapped solve; no cross-device communication is
-    needed (embarrassingly parallel, like the reference's process pool but on
-    the ICI-connected mesh).
+    The batch size must be divisible by the ``traj`` axis size. Built on
+    ``shard_map``, so each device executes ``batched_ilqr_solve`` on its
+    LOCAL shard — no cross-device communication by construction
+    (embarrassingly parallel, like the reference's process pool but on the
+    ICI-connected mesh), and the fused-backend auto dispatch sees the local
+    shard width. GSPMD sharding propagation alone cannot do this: a
+    ``pallas_call`` has no partitioning rule, so the fused kernel under
+    plain ``jit`` would force a gather + replicated execution.
+
+    Two shard-local semantics notes (both match ``vmap(ilqr_solve)`` per
+    lane): each shard iterates until ITS lanes converge (no cross-shard
+    trip-count sync — faster, same per-lane results), and the vmap path's
+    ``riccati="auto"`` batch hint is the local width.
     """
-    sharding = NamedSharding(mesh, PartitionSpec(axis))
+    spec = PartitionSpec(axis)
+    sharding = NamedSharding(mesh, spec)
     x0_sharded = jax.device_put(x0_batch, sharding)
     u_sharded = jax.device_put(u_init_batch, sharding)
 
     solve = partial(batched_ilqr_solve, dynamics, cost, final_cost, config=config)
-    out_shardings = ILQRSolution(
-        x_seq=sharding,
-        u_seq=sharding,
-        cost=sharding,
-        iterations=sharding,
-        converged=sharding,
-        k_seq=sharding,
-        big_k_seq=sharding,
+    out_specs = ILQRSolution(
+        x_seq=spec,
+        u_seq=spec,
+        cost=spec,
+        iterations=spec,
+        converged=spec,
+        k_seq=spec,
+        big_k_seq=spec,
     )
-    return jax.jit(solve, out_shardings=out_shardings)(x0_sharded, u_sharded)
+    # check_vma=False: the body is shard-local with zero collectives, and the
+    # solver's while_loop carries start as unvarying zeros (the vma checker
+    # would demand pcast shims inside core solver code for no semantic gain).
+    mapped = jax.shard_map(
+        solve, mesh=mesh, in_specs=(spec, spec), out_specs=out_specs, check_vma=False
+    )
+    return jax.jit(mapped)(x0_sharded, u_sharded)

@@ -126,6 +126,10 @@ class QuadrotorBridge:
 
         # IMU sensor addresses (quadrotor_wrapper.py:33-39): gyro / linear
         # accelerometer / body-frame quaternion, resolved once at load.
+        # mj_name2id returns -1 for a missing name — indexing sensor_adr[-1]
+        # would silently alias the LAST sensor, so a custom XML without the
+        # IMU suite gets sensors marked unavailable instead (read_sensors
+        # raises; qpos/qvel state reads are unaffected).
         self._sensor_adr = {}
         for key, name, dim in (
             ("gyro", "body_gyro", 3),
@@ -133,7 +137,8 @@ class QuadrotorBridge:
             ("quat", "body_quat", 4),
         ):
             sid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_SENSOR, name)
-            self._sensor_adr[key] = (int(self.model.sensor_adr[sid]), dim)
+            if sid >= 0:
+                self._sensor_adr[key] = (int(self.model.sensor_adr[sid]), dim)
 
     @property
     def timestep(self) -> float:
@@ -178,7 +183,17 @@ class QuadrotorBridge:
         """IMU readings {gyro (3,), accel (3,), quat (4,)} from sensordata —
         the sensor-based state-estimation capability of the reference wrapper
         (quadrotor_wrapper.py:107-130). ``read_state`` reads qpos/qvel ground
-        truth; this is the noisy-sensor alternative for estimator work."""
+        truth; this is the noisy-sensor alternative for estimator work.
+
+        Raises ``RuntimeError`` if the loaded model lacks the IMU sensor
+        suite (body_gyro/body_linacc/body_quat)."""
+        missing = {"gyro", "accel", "quat"} - set(self._sensor_adr)
+        if missing:
+            raise RuntimeError(
+                f"model has no IMU sensors for {sorted(missing)} — add "
+                "body_gyro/body_linacc/body_quat sensors to the MJCF or use "
+                "read_state() ground truth"
+            )
         return {
             key: np.array(self.data.sensordata[adr : adr + dim])
             for key, (adr, dim) in self._sensor_adr.items()

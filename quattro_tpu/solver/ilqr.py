@@ -102,14 +102,17 @@ class ILQRConfig(NamedTuple):
 
 
 # Fail fast on typo'd mode strings at construction rather than deep inside a
-# traced solve (the NamedTuple-generated __new__ accepts anything).
+# traced solve (the NamedTuple-generated __new__ accepts anything). Both
+# construction paths are covered: __new__ AND _replace (NamedTuple._replace
+# builds via tuple.__new__ directly, bypassing the patched __new__ — and
+# _replace is the standard mutation idiom throughout this codebase).
 _RICCATI_MODES = ("auto", "seq", "assoc", "fused")
 _LINESEARCH_MODES = ("xla", "fused")
 _config_new = ILQRConfig.__new__
+_config_replace = ILQRConfig._replace
 
 
-def _validated_config_new(cls, *args, **kwargs):
-    self = _config_new(cls, *args, **kwargs)
+def _validate_config(self):
     if self.riccati not in _RICCATI_MODES:
         raise ValueError(
             f"Unknown riccati mode: {self.riccati!r} (auto|seq|assoc|fused)"
@@ -121,7 +124,16 @@ def _validated_config_new(cls, *args, **kwargs):
     return self
 
 
+def _validated_config_new(cls, *args, **kwargs):
+    return _validate_config(_config_new(cls, *args, **kwargs))
+
+
+def _validated_config_replace(self, **kwargs):
+    return _validate_config(_config_replace(self, **kwargs))
+
+
 ILQRConfig.__new__ = _validated_config_new
+ILQRConfig._replace = _validated_config_replace
 
 
 class ILQRSolution(NamedTuple):

@@ -104,10 +104,15 @@ def train_gain_predictor(
         from jax.sharding import NamedSharding, PartitionSpec
 
         axis = mesh.axis_names[0]
-        if config.batch_size % mesh.shape[axis] != 0:
+        # Validate the batch actually fed, not just the config: with fewer
+        # rows than batch_size the single per-epoch batch is the whole
+        # dataset, and an indivisible width would fail inside device_put.
+        effective_batch = min(config.batch_size, num_rows)
+        if effective_batch % mesh.shape[axis] != 0:
             raise ValueError(
-                f"batch_size {config.batch_size} not divisible by mesh axis "
-                f"{axis!r} size {mesh.shape[axis]}"
+                f"effective batch {effective_batch} (batch_size "
+                f"{config.batch_size}, dataset rows {num_rows}) not divisible "
+                f"by mesh axis {axis!r} size {mesh.shape[axis]}"
             )
         data_sharding = NamedSharding(mesh, PartitionSpec(axis))
         replicated = NamedSharding(mesh, PartitionSpec())

@@ -114,6 +114,32 @@ def test_batched_solve_backend_validation():
             dyn, cost, fcost, jnp.zeros((2, 4)), jnp.zeros((2, 10, 1)),
             riccati_backend="warp",
         )
+    # Forcing the fused backend with adaptive_reg must be as loud as the
+    # single-trajectory fused entry points (the kernel bakes reg as a
+    # literal, dropping the LM mu-schedule silently otherwise).
+    with pytest.raises(ValueError, match="adaptive"):
+        batched_ilqr_solve(
+            dyn, cost, fcost, jnp.zeros((2, 4)), jnp.zeros((2, 10, 1)),
+            ILQRConfig(adaptive_reg=True), riccati_backend="fused",
+        )
+
+
+def test_auto_dispatch_respects_pinned_algorithm(monkeypatch):
+    """A user who pins riccati=/parallel_riccati/linesearch asked for a
+    specific algorithm; the batched 'auto' dispatch must not substitute the
+    fused sequential-law kernel for it."""
+    from quattro_tpu.parallel.batch import _fused_backend_applies
+    from quattro_tpu.solver import ILQRConfig
+
+    x0 = jnp.zeros((16, 4), jnp.float32)
+    u0 = jnp.zeros((16, 10, 1), jnp.float32)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _fused_backend_applies(ILQRConfig(), x0, u0)
+    assert not _fused_backend_applies(ILQRConfig(riccati="assoc"), x0, u0)
+    assert not _fused_backend_applies(ILQRConfig(riccati="seq"), x0, u0)
+    assert not _fused_backend_applies(ILQRConfig(parallel_riccati=True), x0, u0)
+    assert not _fused_backend_applies(ILQRConfig(linesearch="fused"), x0, u0)
+    assert not _fused_backend_applies(ILQRConfig(adaptive_reg=True), x0, u0)
 
 
 def test_fused_multi_batch_tile():

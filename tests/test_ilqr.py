@@ -102,6 +102,12 @@ class TestCartPoleGolden:
             assert abs(float(sol.cost) - float(base.cost)) / float(base.cost) < 1e-6
         with pytest.raises(ValueError):
             ilqr_solve(dyn, cost, fcost, jnp.array(x0), u0, ILQRConfig(riccati="warp"))
+        # _replace builds via tuple.__new__, bypassing the patched __new__ —
+        # the validation hook must cover it too.
+        with pytest.raises(ValueError):
+            ILQRConfig()._replace(riccati="warp")
+        with pytest.raises(ValueError):
+            ILQRConfig()._replace(linesearch="warp")
 
     def test_backward_dispatch_resolution(self):
         """The config resolves to the right backward-pass callable — incl. the

@@ -247,6 +247,15 @@ def test_dp_mesh_batch_divisibility_validated(dataset):
             _small_predictor(), dataset, None,
             TrainConfig(num_epochs=1, batch_size=6), mesh=mesh,
         )
+    # The EFFECTIVE batch is validated too: with fewer rows than batch_size
+    # the single per-epoch batch is the whole dataset, whose width must also
+    # divide the mesh axis (it would otherwise fail inside device_put).
+    small = type(dataset)(*(f[:5] for f in dataset))  # 5 rows, 5 % 8 != 0
+    with pytest.raises(ValueError, match="effective batch"):
+        train_gain_predictor(
+            _small_predictor(), small, None,
+            TrainConfig(num_epochs=1, batch_size=64), mesh=mesh,
+        )
 
 
 def test_streamed_shard_training(dataset, tmp_path):
