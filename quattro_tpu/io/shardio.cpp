@@ -168,7 +168,11 @@ int qtshard_index(const char* path, uint64_t** out_offsets, uint64_t** out_lengt
     if (get_u32(header) != kRecordMagic) { rc = 3; break; }
     uint64_t len = get_u64(header + 4);
     uint32_t want_crc = get_u32(header + 12);
-    if (pos + kHeaderSize + len > file_size) { rc = 4; break; }
+    // Subtract-form bounds check: `pos + kHeaderSize + len > file_size`
+    // wraps for a corrupt len near UINT64_MAX, passing the check and letting
+    // buf.resize() throw through the extern "C" boundary (std::terminate).
+    // Here pos + kHeaderSize <= file_size, so the RHS cannot underflow.
+    if (len > file_size - pos - kHeaderSize) { rc = 4; break; }
     buf.resize(size_t(len));
     if (len && std::fread(buf.data(), 1, size_t(len), f) != size_t(len)) { rc = 4; break; }
     if (crc32_update(0, buf.data(), size_t(len)) != want_crc) { rc = 3; break; }

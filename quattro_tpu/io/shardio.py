@@ -177,23 +177,36 @@ class _PyWriter:
 
 
 def _py_index(path: str):
+    """Streaming scan (headers + chunked CRC), like the native scanner —
+    materializing a multi-hundred-MB shard just to compute offsets would
+    double peak RSS versus the mmap the reader creates afterwards."""
     offsets: List[int] = []
     lengths: List[int] = []
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
-        data = f.read()
-    if data[:8] != _FILE_MAGIC:
-        raise ValueError(f"{path}: not a QTSHRD01 shard")
-    pos = 8
-    while pos + _HEADER.size <= len(data):
-        rmagic, length, crc = _HEADER.unpack_from(data, pos)
-        if rmagic != _RECORD_MAGIC or pos + _HEADER.size + length > len(data):
-            break
-        payload = data[pos + _HEADER.size: pos + _HEADER.size + length]
-        if zlib.crc32(payload) != crc:
-            break
-        offsets.append(pos + _HEADER.size)
-        lengths.append(length)
-        pos += _HEADER.size + length
+        if f.read(8) != _FILE_MAGIC:
+            raise ValueError(f"{path}: not a QTSHRD01 shard")
+        pos = 8
+        while pos + _HEADER.size <= size:
+            header = f.read(_HEADER.size)
+            if len(header) != _HEADER.size:
+                break
+            rmagic, length, crc = _HEADER.unpack(header)
+            if rmagic != _RECORD_MAGIC or length > size - pos - _HEADER.size:
+                break
+            running = 0
+            remaining = length
+            while remaining:
+                chunk = f.read(min(remaining, 1 << 20))
+                if not chunk:
+                    break
+                running = zlib.crc32(chunk, running)
+                remaining -= len(chunk)
+            if remaining or running != crc:
+                break
+            offsets.append(pos + _HEADER.size)
+            lengths.append(length)
+            pos += _HEADER.size + length
     return offsets, lengths
 
 
@@ -202,12 +215,31 @@ def _py_index(path: str):
 # ---------------------------------------------------------------------------
 
 
+def _check_append_target(path: str) -> None:
+    """Refuse to append behind a non-shard file.
+
+    Both writers only write the file magic into a NEW/empty file; appending
+    records behind foreign bytes would "succeed" while producing a file the
+    scanner can never read past byte 8 — silent data loss discovered only at
+    read time."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(8)
+    except (FileNotFoundError, IsADirectoryError):
+        return
+    if head and head != _FILE_MAGIC:
+        raise ValueError(
+            f"{path}: exists and is not a QTSHRD01 shard — refusing to append"
+        )
+
+
 class ShardWriter:
     """Append dicts of numpy arrays to a validated shard file."""
 
     def __init__(self, path: str):
         self.path = path
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        _check_append_target(path)
         lib = _load_native()
         self._native = None
         self._py: Optional[_PyWriter] = None
@@ -244,6 +276,18 @@ class ShardWriter:
         elif self._py is not None:
             self._py.close()
             self._py = None
+
+    def __del__(self):
+        # The native backend buffers in stdio: without this finalizer a
+        # writer dropped without close() loses up to a full stdio buffer of
+        # records, while the pure-Python file object flushes on GC — the
+        # "loses at most its trailing partial record" bound must hold on
+        # both backends. Guarded: at interpreter shutdown the ctypes lib may
+        # already be unloaded.
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __enter__(self) -> "ShardWriter":
         return self
@@ -337,6 +381,7 @@ def merge_shards(dst: str, sources: Sequence[str], missing_ok: bool = True) -> i
     265-290) including its missing-file tolerance; native when available.
     """
     lib = _load_native()
+    _check_append_target(dst)
     total = 0
     for src in sources:
         if not os.path.exists(src):

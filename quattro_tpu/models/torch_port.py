@@ -27,7 +27,9 @@ from quattro_tpu.models.transformer import TransformerPredictor
 
 
 def _to_np(tensor) -> np.ndarray:
-    return np.asarray(tensor.detach().to("cpu").to(dtype=__import__("torch").float32).numpy())
+    # torch is already imported by load_torch_checkpoint (the only caller
+    # path); .float() avoids re-importing it per weight tensor.
+    return np.asarray(tensor.detach().cpu().float().numpy())
 
 
 def load_torch_checkpoint(checkpoint_dir: str) -> GainPredictor:

@@ -35,7 +35,9 @@ def sinusoidal_positional_encoding(max_len: int, d_model: int, dtype=jnp.float32
     div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * (-np.log(10000.0) / d_model))
     table = np.zeros((max_len, d_model), dtype=np.float64)
     table[:, 0::2] = np.sin(position * div_term)
-    table[:, 1::2] = np.cos(position * div_term)
+    # Odd d_model: the cos half has floor(d/2) columns but div_term has
+    # ceil(d/2) entries — slice it (torch's own implementation does the same).
+    table[:, 1::2] = np.cos(position * div_term[: d_model // 2])
     return jnp.asarray(table, dtype=dtype)
 
 

@@ -351,19 +351,35 @@ def ilqr_solve_with_logs(
     cost_init = trajectory_cost(cost, final_cost, x_init, u_init)
 
     def body(state, _):
-        x_seq, u_seq, current_cost, iteration, done = state
+        x_seq, u_seq, current_cost, iteration, done, reg = state
         found, alpha, new_x, new_u, new_cost, k_seq, big_k_seq = _ilqr_iteration(
-            dynamics, cost, final_cost, config, x0, x_seq, u_seq, current_cost
+            dynamics, cost, final_cost, config, x0, x_seq, u_seq, current_cost,
+            reg=reg,
         )
         active = jnp.logical_not(done)
         sel = lambda new, old: jnp.where(active, new, old)
         x_out = sel(new_x, x_seq)
         u_out = sel(new_u, u_seq)
         cost_out = jnp.where(active, new_cost, current_cost)
-        now_done = jnp.logical_or(
-            jnp.logical_not(found), jnp.abs(current_cost - new_cost) < config.tol
-        )
+        small_improvement = jnp.abs(current_cost - new_cost) < config.tol
+        if config.adaptive_reg:
+            # Same LM mu-schedule as ilqr_solve's while body: a failed line
+            # search grows mu and RETRIES (the trajectory is unchanged on
+            # failure), terminating only when converged or mu saturates.
+            reg_next = jnp.where(
+                found,
+                jnp.maximum(reg / config.reg_factor, config.reg),
+                jnp.minimum(reg * config.reg_factor, config.reg_max),
+            )
+            now_done = jnp.logical_or(
+                jnp.logical_and(found, small_improvement),
+                jnp.logical_and(jnp.logical_not(found), reg >= config.reg_max),
+            )
+        else:
+            reg_next = reg
+            now_done = jnp.logical_or(jnp.logical_not(found), small_improvement)
         done_next = jnp.logical_or(done, now_done)
+        reg_out = jnp.where(active, reg_next, reg)
         log = (
             x_seq,
             u_out,
@@ -375,10 +391,16 @@ def ilqr_solve_with_logs(
             jnp.logical_and(active, found),
             active,
         )
-        return (x_out, u_out, cost_out, iteration + active.astype(iteration.dtype), done_next), log
+        return (
+            x_out, u_out, cost_out,
+            iteration + active.astype(iteration.dtype), done_next, reg_out,
+        ), log
 
-    init = (x_init, u_init, cost_init, jnp.asarray(0), jnp.asarray(False))
-    (x_seq, u_seq, cost_val, iterations, done), logs = jax.lax.scan(
+    init = (
+        x_init, u_init, cost_init, jnp.asarray(0), jnp.asarray(False),
+        jnp.asarray(config.reg, dtype=x_init.dtype),
+    )
+    (x_seq, u_seq, cost_val, iterations, done, _), logs = jax.lax.scan(
         body, init, None, length=config.max_iter
     )
     log_tuple = ILQRLogs(*logs)

@@ -26,10 +26,22 @@ def nan_guard():
 
 
 def tree_checksum(tree) -> jnp.ndarray:
-    """Order-independent float checksum of a pytree (sum of elementwise sums)."""
-    leaves = jax.tree.leaves(tree)
-    return sum(jnp.sum(leaf.astype(jnp.float64) if leaf.dtype == jnp.float32 else leaf)
-               for leaf in leaves)
+    """EXACT order-independent checksum: leaf bit patterns summed modulo 2^32.
+
+    Integer (wraparound) accumulation rather than float: a float sum rounds —
+    under default config an f64 upcast silently canonicalizes back to f32, so
+    a large tree's ~1e-7 relative rounding could absorb a small single-element
+    corruption. Modular uint32 addition is exact, order-independent, and
+    sensitive to any bit flip that doesn't exactly cancel."""
+    total = jnp.uint32(0)
+    for leaf in jax.tree.leaves(tree):
+        x = jnp.asarray(leaf)
+        if x.dtype.itemsize < 4:  # bool/int8/...: value-cast, still exact
+            bits = x.astype(jnp.uint32)
+        else:  # f32/f64/i32/i64: reinterpret the raw bits (f64 -> (..., 2))
+            bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        total = total + jnp.sum(bits, dtype=jnp.uint32)
+    return total
 
 
 def verify_halo_exchange(sent_tree, received_tree, axis: str, perm) -> jnp.ndarray:
@@ -39,10 +51,10 @@ def verify_halo_exchange(sent_tree, received_tree, axis: str, perm) -> jnp.ndarr
     ``sent_tree`` is this shard's outgoing payload, ``received_tree`` what it
     got back from the data-path ppermute with permutation ``perm``. The
     checksum travels through its own (tiny) collective; if the data path
-    corrupted or misrouted the payload the two disagree. Returns the absolute
-    difference (0.0 == consistent). Debug-only: costs one extra scalar
+    corrupted or misrouted the payload the two disagree. Returns 0.0 when
+    consistent, 1.0 on mismatch. Debug-only: costs one extra scalar
     collective per hop.
     """
     expected = jax.lax.ppermute(tree_checksum(sent_tree), axis, perm)
     actual = tree_checksum(received_tree)
-    return jnp.abs(expected - actual)
+    return jnp.where(expected == actual, 0.0, 1.0).astype(jnp.float32)

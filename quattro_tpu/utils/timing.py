@@ -21,20 +21,35 @@ class PhaseTimer:
 
     Usage:
         timer = PhaseTimer()
-        with timer.phase("backward", outputs=lambda: result):
-            result = backward(...)
+        result_box = []
+        with timer.phase("backward", outputs=lambda: result_box):
+            result_box.append(backward(...))
+        # or, simpler, for a single call:
+        result = timer.timed("backward", backward, ...)
         timer.summary()  # {phase: {count, total_s, mean_s, p50_s, p99_s}}
+
+    JAX dispatch is asynchronous: without blocking, a phase records only
+    dispatch time (microseconds) while the device work runs after the
+    ``with`` block exits. ``phase(..., outputs=...)`` blocks on the callable's
+    result at exit; ``timed`` blocks on the function's return value. A bare
+    ``phase(name)`` is honest only around host-synchronous work (pure
+    Python/numpy, or code that already fetched a result to the host).
     """
 
     def __init__(self) -> None:
         self.records: Dict[str, List[float]] = collections.defaultdict(list)
 
     @contextlib.contextmanager
-    def phase(self, name: str):
+    def phase(self, name: str, outputs=None):
+        """Time a block; ``outputs`` (a zero-arg callable returning the
+        block's jax outputs, e.g. a list the block appends to) is blocked on
+        before the clock stops, so async device work is included."""
         start = time.perf_counter()
         try:
             yield
         finally:
+            if outputs is not None:
+                jax.block_until_ready(outputs())
             self.records[name].append(time.perf_counter() - start)
 
     def timed(self, name: str, fn, *args, **kwargs):

@@ -173,6 +173,25 @@ class TestCartPoleGolden:
         ref_alphas = [entry["alpha"] or 0.0 for entry in ref.logs]
         np.testing.assert_allclose(np.asarray(logs.alpha)[valid], ref_alphas)
 
+    def test_logged_solve_matches_plain_under_adaptive_reg(self):
+        """The logs variant threads the SAME traced LM mu-schedule as
+        ilqr_solve — a failed line search grows mu and retries instead of
+        terminating (previously it silently ran with static reg)."""
+        dyn, cost, fcost = _cartpole_setup()
+        x0 = jnp.array([0.3, 0.0, 0.5, 0.0])
+        u0 = jnp.zeros((30, 1))
+        # An absurdly LARGE initial reg forces early line-search behavior to
+        # differ from the static-reg path, exercising the retry schedule.
+        cfg = ILQRConfig(tol=1e-1, adaptive_reg=True, reg=1e-2, reg_factor=10.0)
+        plain = ilqr_solve(dyn, cost, fcost, x0, u0, cfg)
+        sol, logs = ilqr_solve_with_logs(dyn, cost, fcost, x0, u0, cfg)
+        assert int(sol.iterations) == int(plain.iterations)
+        assert bool(sol.converged) == bool(plain.converged)
+        assert float(sol.cost) == pytest.approx(float(plain.cost), rel=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(sol.u_seq), np.asarray(plain.u_seq), atol=1e-12
+        )
+
 
 class TestQuadrotorGolden:
     def test_hover_recovery_solve(self):

@@ -114,6 +114,44 @@ def test_bad_magic_raises(tmp_path):
         index_shard(path)
 
 
+def test_corrupt_huge_length_is_truncation_not_crash(tmp_path):
+    """A bit-flipped payload_len near UINT64_MAX must read as a corrupt tail
+    (records before it kept), not wrap the native scanner's bounds check and
+    abort the process via an uncatchable std::bad_alloc."""
+    import struct
+
+    path = str(tmp_path / "hugelen.qtshard")
+    recs = _sample_records(3)
+    with ShardWriter(path) as w:
+        for r in recs:
+            w.append(r)
+    offsets, _ = index_shard(path)
+    # Overwrite record 1's length field (8 bytes after the record magic).
+    with open(path, "r+b") as f:
+        f.seek(offsets[1] - 12)  # header = magic(4) + len(8) + crc(4)
+        f.write(struct.pack("<Q", 0xFFFFFFFFFFFFFFF0))
+    _assert_records_equal(read_shard(path), recs[:1])
+
+
+def test_append_behind_foreign_file_refused(tmp_path):
+    """Appending records behind a non-shard file would 'succeed' while
+    producing a file the scanner can never read — both the writer and
+    merge_shards must refuse up front."""
+    path = str(tmp_path / "foreign.bin")
+    with open(path, "wb") as f:
+        f.write(b"NOTASHRD-some-other-format")
+    with pytest.raises(ValueError, match="refusing to append"):
+        ShardWriter(path)
+    src = str(tmp_path / "src.qtshard")
+    with ShardWriter(src) as w:
+        for r in _sample_records(2):
+            w.append(r)
+    with pytest.raises(ValueError, match="refusing to append"):
+        merge_shards(path, [src])
+    with open(path, "rb") as f:
+        assert f.read() == b"NOTASHRD-some-other-format"  # untouched
+
+
 def test_missing_file_raises_filenotfound(tmp_path):
     """Error types must not depend on which backend is active: a missing file
     is FileNotFoundError on both (ADVICE r1); ValueError stays reserved for
