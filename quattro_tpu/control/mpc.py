@@ -116,6 +116,13 @@ def build_mpc(
             "solver='megakernel' fuses the pure iLQR solve; hybrid/predictor "
             "controllers need solver='while'"
         )
+    if solver == "megakernel" and config.adaptive_reg:
+        # ilqr_solve_fused rejects this too, but only when the jitted step
+        # is first traced — fail at construction like the other checks here.
+        raise ValueError(
+            "solver='megakernel' bakes reg into the kernel as a literal; "
+            "adaptive_reg needs solver='while'"
+        )
 
     if mode in ("lqr", "blend"):
         if lqr_matrices is None:

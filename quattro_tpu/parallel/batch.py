@@ -86,11 +86,36 @@ def batched_ilqr_solve(
     """
     if riccati_backend not in ("auto", "fused", "vmap"):
         raise ValueError(f"Unknown riccati_backend: {riccati_backend!r}")
-    if riccati_backend == "fused" and config.adaptive_reg:
-        raise ValueError(
-            "riccati_backend='fused' bakes reg into the kernel as a literal; "
-            "the adaptive LM mu-schedule needs riccati_backend='vmap'"
-        )
+    if riccati_backend == "fused":
+        # Forcing the kernel must be as loud as the auto dispatch is careful:
+        # a pinned algorithm knob would be silently substituted (the fused
+        # body always runs the sequential update law + XLA line search), and
+        # the kernel's applicability limits die as opaque Mosaic errors.
+        if config.adaptive_reg:
+            raise ValueError(
+                "riccati_backend='fused' bakes reg into the kernel as a literal; "
+                "the adaptive LM mu-schedule needs riccati_backend='vmap'"
+            )
+        if (
+            config.riccati != "auto"
+            or config.parallel_riccati is not None
+            or config.linesearch != "xla"
+        ):
+            raise ValueError(
+                "riccati_backend='fused' runs the fused sequential-law kernel "
+                "with the XLA line search; pinned riccati=/parallel_riccati/"
+                "linesearch settings conflict — use riccati_backend='vmap'"
+            )
+        n, m = x0_batch.shape[-1], u_init_batch.shape[-1]
+        if n > 16 or m > 8:
+            raise ValueError(
+                f"riccati_backend='fused' supports n <= 16, m <= 8 (got n={n}, m={m})"
+            )
+        if jax.default_backend() == "tpu" and x0_batch.dtype != jnp.float32:
+            raise ValueError(
+                "riccati_backend='fused' on TPU requires float32 data "
+                f"(got {x0_batch.dtype})"
+            )
     use_fused = riccati_backend == "fused" or (
         riccati_backend == "auto" and _fused_backend_applies(config, x0_batch, u_init_batch)
     )

@@ -203,6 +203,7 @@ def train_gain_predictor(
         rng, perm_key = jax.random.split(rng)
         perm = jax.random.permutation(perm_key, num_rows)
         epoch_loss = 0.0
+        rows_consumed = 0
         for step in range(steps_per_epoch):
             idx = perm[step * config.batch_size : (step + 1) * config.batch_size]
             rng, dropout_key = jax.random.split(rng)
@@ -211,7 +212,11 @@ def train_gain_predictor(
                 params, opt_state, xb, pb, tb, dropout_key
             )
             epoch_loss += float(loss) * idx.shape[0]
-        train_hist.append(epoch_loss / (steps_per_epoch * config.batch_size))
+            rows_consumed += int(idx.shape[0])
+        # Normalize by rows actually consumed: with num_rows < batch_size the
+        # single per-epoch batch holds num_rows rows, and dividing by
+        # batch_size would silently understate the mean loss.
+        train_hist.append(epoch_loss / max(rows_consumed, 1))
 
         if manager is not None and (epoch + 1) % config.checkpoint_every == 0:
             manager.save(
