@@ -17,8 +17,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the suite is compile-dominated (shard_map over
-# 8 virtual devices, x64) — caching cuts repeat runs from ~25 min to minutes.
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_test_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# NOTE: the persistent compilation cache is deliberately NOT enabled here.
+# It cut repeat suite runs from ~50 to ~30 min, but jax 0.9.0's executable
+# (de)serialization segfaulted nondeterministically on this rig — once
+# reading (compilation_cache.get_executable_and_time) and once writing
+# (put_executable_and_time), at different tests, killing the whole pytest
+# process. Within one suite run the in-memory jit cache already dedups
+# compiles; only cross-run time is lost, and a green suite beats a fast one.
