@@ -24,3 +24,20 @@ jax.config.update("jax_enable_x64", True)
 # (put_executable_and_time), at different tests, killing the whole pytest
 # process. Within one suite run the in-memory jit cache already dedups
 # compiles; only cross-run time is lost, and a green suite beats a fast one.
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    Single-process full-suite runs on this rig segfaulted inside XLA's CPU
+    backend_compile after ~120 tests' worth of accumulated executables
+    (reproducibly around the same late test), while every module passes in
+    isolation — process-lifetime compiler state is the correlate. Cross-
+    module jit cache hits are rare (each module builds its own closures),
+    so the recompile cost is small.
+    """
+    yield
+    jax.clear_caches()
