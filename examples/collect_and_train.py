@@ -112,10 +112,16 @@ def mujoco_plant_adapters(system):
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--system", required=True, choices=["cartpole", "quadrotor"])
-    parser.add_argument("--plant", default="model", choices=["model", "mujoco"],
+    parser.add_argument("--plant", default="model",
+                        choices=["model", "mujoco", "randomized"],
                         help="'model': vmapped on-device sweeps against the solver's own "
                              "dynamics; 'mujoco': host-loop closed-loop collection against "
-                             "the MuJoCo plant (the reference's model-mismatch distribution)")
+                             "the MuJoCo plant (the reference's model-mismatch distribution); "
+                             "'randomized': on-device domain randomization — every "
+                             "trajectory's plant gets independently perturbed physical "
+                             "parameters (--plant-rel), solver keeps the nominal model")
+    parser.add_argument("--plant-rel", type=float, default=0.1,
+                        help="relative parameter-perturbation range for --plant randomized")
     parser.add_argument("--horizon", type=int, default=None)
     parser.add_argument("--prompt-len", type=int, default=None)
     parser.add_argument("--num-inits", type=int, default=64)
@@ -206,6 +212,32 @@ def main() -> None:
             substeps=substeps, shard_path=args.dataset_out
             if args.dataset_out and args.dataset_out.endswith(".qtshard") else None,
             verbose=True,
+        )
+    elif args.plant == "randomized":
+        from quattro_tpu.systems import (
+            CartPoleParams,
+            QuadrotorParams,
+            cartpole_dynamics,
+            quadrotor_dynamics,
+            rk4_step,
+        )
+        from quattro_tpu.training import perturb_params
+
+        cont = cartpole_dynamics if args.system == "cartpole" else quadrotor_dynamics
+        nominal = CartPoleParams() if args.system == "cartpole" else QuadrotorParams()
+
+        def plant(x, u, theta):
+            return rk4_step(lambda xx, uu: cont(xx, uu, theta), x, u, 0.01)
+
+        theta_batch = perturb_params(
+            jax.random.PRNGKey(7), nominal, args.plant_rel, args.num_inits
+        )
+        print(f"collecting (randomized plant, rel={args.plant_rel}): {args.num_inits} "
+              f"inits x {args.sim_steps} MPC steps x <= {args.max_iter} iLQR iters "
+              f"(horizon {horizon})", flush=True)
+        dataset = collect_gain_dataset(
+            dyn, cost, fcost, x0s, horizon, m, args.sim_steps, config=solve_config,
+            plant_dynamics=plant, plant_params_batch=theta_batch,
         )
     else:
         print(f"collecting (model plant): {args.num_inits} inits x {args.sim_steps} "

@@ -53,7 +53,12 @@ def make_quadratic_cost(
 
     def cost(x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         dx = x - x_ref
-        value = dx @ q_mat @ dx + u @ r_mat @ u
+        # sum(a * (M @ a)) rather than a @ M @ a: the final vector.vector
+        # contraction becomes a dot_general with only batch dims once the
+        # fused megakernel double-vmaps this callable, and Mosaic cannot
+        # lower a dot with zero non-contracting dims — the elementwise
+        # multiply + reduce form is the same math on the VPU.
+        value = jnp.sum(dx * (q_mat @ dx)) + jnp.sum(u * (r_mat @ u))
         if barrier_alpha > 0.0:
             value = value + barrier_alpha * softplus_barrier(u, barrier_beta)
         return value
@@ -68,7 +73,8 @@ def make_quadratic_final_cost(qf: jnp.ndarray, x_ref: jnp.ndarray) -> FinalCost:
 
     def cost(x: jnp.ndarray) -> jnp.ndarray:
         dx = x - x_ref
-        return dx @ qf_mat @ dx
+        # Same Mosaic-lowerable form as make_quadratic_cost (see note there).
+        return jnp.sum(dx * (qf_mat @ dx))
 
     return cost
 

@@ -12,6 +12,7 @@ from quattro_tpu.training.collect import (
     ShardDataset,
     lhs_initial_states,
     load_gain_dataset,
+    perturb_params,
     save_gain_dataset,
 )
 from quattro_tpu.training.train import TrainConfig, train_gain_predictor
@@ -23,6 +24,7 @@ __all__ = [
     "ShardDataset",
     "lhs_initial_states",
     "load_gain_dataset",
+    "perturb_params",
     "save_gain_dataset",
     "TrainConfig",
     "train_gain_predictor",

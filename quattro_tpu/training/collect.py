@@ -61,6 +61,33 @@ def lhs_initial_states(
     return lower + unit * (upper - lower)
 
 
+def perturb_params(key: jax.Array, nominal, rel_scale: float, num: int):
+    """Per-trajectory multiplicative domain randomization of plant parameters.
+
+    Every leaf of ``nominal`` (a params NamedTuple / pytree of scalars or
+    arrays) gets an independent uniform factor in
+    ``[1 - rel_scale, 1 + rel_scale]`` per sample: the returned pytree has
+    the same structure with a leading ``(num,)`` batch axis on every leaf,
+    ready for ``collect_gain_dataset(..., plant_params_batch=...)``.
+
+    This is the on-device counterpart of the reference's model-mismatch
+    training distribution (it collects from MuJoCo plants whose compiled
+    physics differ from the solver model, training_data_collection.py:78-88):
+    instead of one fixed mismatched plant, every trajectory sees its own
+    perturbed physics — domain randomization the vmapped sweep gets for free.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(nominal)
+    keys = jax.random.split(key, len(leaves))
+    out = []
+    for leaf, k in zip(leaves, keys):
+        leaf = jnp.asarray(leaf, dtype=jnp.result_type(float))
+        factor = 1.0 + rel_scale * jax.random.uniform(
+            k, (num,) + leaf.shape, minval=-1.0, maxval=1.0
+        )
+        out.append(leaf[None] * factor)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def collect_gain_dataset(
     dynamics: Callable,
     cost: Callable,
@@ -71,6 +98,7 @@ def collect_gain_dataset(
     sim_steps: int,
     config: ILQRConfig = ILQRConfig(),
     plant_dynamics: Optional[Callable] = None,
+    plant_params_batch=None,
 ) -> GainDataset:
     """Closed-loop MPC sweeps that log every iLQR iteration as a training row.
 
@@ -81,9 +109,20 @@ def collect_gain_dataset(
     reference uses MuJoCo as the plant; a distinct plant fn reproduces that
     model-mismatch capability).
 
+    ``plant_params_batch`` (e.g. from :func:`perturb_params`): a pytree whose
+    leaves carry a leading ``(B,)`` axis — per-trajectory plant parameters.
+    ``plant_dynamics`` must then take ``(x, u, params_row)``; the sweep vmaps
+    the plant over (initial state, params) together, so every trajectory runs
+    against its own randomized physics while the solver keeps the nominal
+    model — mismatch included in the data without leaving the device.
+
     Returns host arrays with invalid (post-convergence) iterations filtered.
     """
     if plant_dynamics is None:
+        if plant_params_batch is not None:
+            raise ValueError(
+                "plant_params_batch requires an explicit plant_dynamics(x, u, params)"
+            )
         plant_dynamics = dynamics
 
     # The sweep vmaps the solve over initial states: inject the real batch
@@ -94,21 +133,34 @@ def collect_gain_dataset(
         config = config._replace(batch_hint=max(config.batch_hint, x0_batch.shape[0]))
     solve = partial(ilqr_solve_with_logs, dynamics, cost, final_cost, config=config)
 
-    def control_step(carry, _):
-        x_plant, u_warm = carry
-        sol, logs = solve(x_plant, u_warm)
-        u_applied = sol.u_seq[0]
-        x_next = plant_dynamics(x_plant, u_applied)
-        return (x_next, shift_warm_start(sol.u_seq)), (logs.x_seq, logs.k_seq, logs.big_k_seq, logs.valid)
+    def sweep(x0, theta):
+        def control_step(carry, _):
+            x_plant, u_warm = carry
+            sol, logs = solve(x_plant, u_warm)
+            u_applied = sol.u_seq[0]
+            if theta is None:
+                x_next = plant_dynamics(x_plant, u_applied)
+            else:
+                x_next = plant_dynamics(x_plant, u_applied, theta)
+            # Param leaves may sit at a wider dtype (x64 hosts); the plant
+            # state keeps the solver's dtype so the scan carry stays fixed.
+            x_next = x_next.astype(x_plant.dtype)
+            return (x_next, shift_warm_start(sol.u_seq)), (
+                logs.x_seq, logs.k_seq, logs.big_k_seq, logs.valid,
+            )
 
-    def sweep(x0):
         u_warm = jnp.zeros((horizon, control_dim), dtype=x0.dtype)
         _, (x_log, k_log, big_k_log, valid) = jax.lax.scan(
             control_step, (x0, u_warm), None, length=sim_steps
         )
         return x_log, k_log, big_k_log, valid  # (sim_steps, max_iter, ...)
 
-    x_log, k_log, big_k_log, valid = jax.jit(jax.vmap(sweep))(x0_batch)
+    if plant_params_batch is None:
+        sweep_b = jax.jit(jax.vmap(lambda x0: sweep(x0, None)))
+        x_log, k_log, big_k_log, valid = sweep_b(x0_batch)
+    else:
+        sweep_b = jax.jit(jax.vmap(sweep))
+        x_log, k_log, big_k_log, valid = sweep_b(x0_batch, plant_params_batch)
 
     # Flatten (B, sim_steps, max_iter, ...) -> rows, filter valid on host.
     x_rows = np.asarray(x_log).reshape((-1,) + x_log.shape[3:])

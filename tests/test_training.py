@@ -81,6 +81,48 @@ def test_collection_shapes_and_content(dataset):
     assert np.isfinite(dataset.x_data).all() and np.isfinite(dataset.kk_data).all()
 
 
+def test_randomized_plant_collection(problem):
+    """Domain-randomized on-device collection: per-trajectory perturbed plant
+    params change the closed-loop data (the on-device counterpart of the
+    reference's MuJoCo model-mismatch distribution,
+    training_data_collection.py:78-88)."""
+    from quattro_tpu.systems import CartPoleParams, rk4_step, cartpole_dynamics
+    from quattro_tpu.training import perturb_params
+
+    dyn, cost, fcost = problem
+    x0s = jnp.tile(jnp.array([[0.2, 0.0, 0.3, 0.0]], dtype=jnp.float32), (4, 1))
+    theta = perturb_params(jax.random.PRNGKey(3), CartPoleParams(), 0.2, 4)
+    # Every leaf batched over the 4 trajectories, perturbed within ±20%.
+    assert all(leaf.shape[0] == 4 for leaf in jax.tree_util.tree_leaves(theta))
+    nominal = jnp.asarray(CartPoleParams().m_cart)
+    assert np.all(np.abs(np.asarray(theta.m_cart) / nominal - 1.0) <= 0.2)
+
+    def plant(x, u, p):
+        return rk4_step(lambda xx, uu: cartpole_dynamics(xx, uu, p), x, u, 0.01)
+
+    cfg = ILQRConfig(tol=1e-1, max_iter=4)
+    randomized = collect_gain_dataset(
+        dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=4, config=cfg,
+        plant_dynamics=plant, plant_params_batch=theta,
+    )
+    nominal_ds = collect_gain_dataset(
+        dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=4, config=cfg,
+    )
+    assert randomized.x_data.shape[1:] == (HORIZON + 1, 4)
+    assert np.isfinite(randomized.x_data).all()
+    # Identical x0 rows: with per-trajectory plants the data must differ
+    # from the nominal-plant sweep (row counts may differ too — the valid
+    # masks depend on the closed-loop path).
+    same_shape = randomized.x_data.shape == nominal_ds.x_data.shape
+    assert (not same_shape) or (not np.allclose(randomized.x_data, nominal_ds.x_data))
+
+    with pytest.raises(ValueError):
+        collect_gain_dataset(
+            dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=2, config=cfg,
+            plant_params_batch=theta,
+        )
+
+
 def test_train_and_hybrid_solve(problem, dataset):
     dyn, cost, fcost = problem
     n_rows = dataset.x_data.shape[0]
