@@ -355,6 +355,77 @@ def bench_batch_throughput():
     return results
 
 
+def bench_pod_scale():
+    """BASELINE config-5 feed on ONE chip: 4096 trajectories x H=1024.
+
+    The pod-scale config (BASELINE.json north star: 4096 traj, H=1024,
+    horizon-partitioned across >=2 hosts) has two orthogonal axes; this
+    section measures the per-chip half — aggregate Riccati factorization
+    throughput at the full 4096-trajectory feed — so the multi-host table
+    (benchmarks/scaling.py) only has to add interconnect cost.
+
+    HBM bounds the resident working set: one chunk of CHUNK trajectories is
+    resident (stage data ~420 floats/stage -> 0.9 GB at CHUNK=512 before the
+    kernel's pre-permuted layouts), and the 4096-trajectory sweep runs as
+    chained chunk dispatches inside one jitted fori_loop (_time_pipelined) —
+    exactly how a streaming pipeline would drain it. Each chunk re-reads its
+    stage data from HBM, so bytes/trajectory match the distinct-data case.
+
+    Comparators: the fused Pallas kernel (batched-regime dispatch default)
+    vs the vmapped sequential scan. Metric: block-nnz/s over the aggregate
+    4096 x 1024 KKT factorization.
+    """
+    from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused
+    from quattro_tpu.solver.riccati import riccati_backward
+
+    n, m, horizon = 12, 4, 1024
+    total_traj = 4096
+
+    # Chunk sizes differ per comparator: the fused kernel streams its
+    # pre-permuted SoA layout and fits CHUNK=512 comfortably, while the
+    # vmapped scan's while-body layouts pad its small per-lane tensors
+    # ~14x (measured: 1.09 GB unpadded -> 15.04 GB padded HBM temp at
+    # B=512) and OOMs — it gets the proven pod-feed chunk of 64.
+    results = {}
+    nnz_total = block_nnz(total_traj, horizon)
+    for name, chunk in (("fused", 512), ("scan", 64)):
+        n_chunks = total_traj // chunk
+        a, b, exp, v_x, v_xx = random_lq_problem(chunk, horizon, n, m)
+        if name == "fused":
+            v_x_b = jnp.broadcast_to(v_x, (chunk, n))
+            v_xx_b = jnp.broadcast_to(v_xx, (chunk, n, n))
+            fn = jax.jit(
+                lambda aa, bb, ee, _vx=v_x_b, _vxx=v_xx_b:
+                riccati_backward_batched_fused(aa, bb, ee, _vx, _vxx)[0]
+            )
+        else:
+            fn = jax.jit(
+                jax.vmap(
+                    lambda aa, bb, ee, _vx=v_x, _vxx=v_xx:
+                    riccati_backward(aa, bb, ee, _vx, _vxx).k_seq
+                )
+            )
+        per_chunk = _time_pipelined(
+            lambda *xs, _f=fn: _f(*xs), (a, b, exp),
+            repeats=min(n_chunks, 16),
+        )
+        total = per_chunk * n_chunks
+        results[name] = {
+            "chunk": chunk,
+            "n_chunks": n_chunks,
+            "seconds_total_4096xH1024": total,
+            "block_nnz_per_sec": nnz_total / total,
+            "traj_sweeps_per_sec": total_traj / total,
+        }
+    results["shape"] = {
+        "total_traj": total_traj, "horizon": horizon, "n": n, "m": m,
+        "note": "chained chunk dispatches in one fori_loop; chunk data "
+                "resident in HBM and re-read per chunk; total extrapolated "
+                "as per_chunk x n_chunks",
+    }
+    return results
+
+
 def bench_kernels():
     """Custom-kernel reference points: Pallas vs XLA-fused jnp for the
     batched Q_uu Cholesky-and-solve (see ops/smallchol.py docstring)."""
@@ -619,8 +690,8 @@ def main():
     parser.add_argument("--json", default=None)
     parser.add_argument(
         "--only", default=None,
-        choices=["riccati", "hybrid", "hybrid_batched", "batch", "kernels",
-                 "fused_latency", "roofline"],
+        choices=["riccati", "hybrid", "hybrid_batched", "batch", "pod_scale",
+                 "kernels", "fused_latency", "roofline"],
         help="run one section",
     )
     args = parser.parse_args()
@@ -638,6 +709,9 @@ def main():
     if args.only in (None, "batch"):
         out["batch_throughput"] = bench_batch_throughput()
         print(json.dumps({"batch_throughput": out["batch_throughput"]}, indent=2), flush=True)
+    if args.only in (None, "pod_scale"):
+        out["pod_scale"] = bench_pod_scale()
+        print(json.dumps({"pod_scale": out["pod_scale"]}, indent=2), flush=True)
     if args.only in (None, "kernels"):
         out["kernels"] = bench_kernels()
         print(json.dumps({"kernels": out["kernels"]}, indent=2), flush=True)

@@ -1,0 +1,69 @@
+"""One-off sweep: fused batched Riccati kernel tile shapes at pod-feed scale.
+
+The kernel's remaining roofline gap (BASELINE.md: ~2.1% of bandwidth bound)
+is VPU serial-op latency on (12, TILE_B) tiles — every batched "matmul" is
+an unrolled chain of (n, TILE_B) FMAs, so wider lane tiles amortize per-op
+overhead linearly until VMEM runs out. Sweeps (tile_b, block_t) at the
+pod-feed shape and at the pod-scale chunk; the winner becomes the dispatch
+default in parallel/batch.py.
+
+VMEM budget per grid step (double-buffered): ~656 floats/stage * block_t *
+tile_b * 4 B * 2 -> (128, 8)=5.4 MB, (256, 8)=10.7 MB, (512, 4)=10.7 MB of
+the ~16 MB/core.
+
+Usage: python benchmarks/tile_sweep.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from suite import _time_pipelined, block_nnz, random_lq_problem
+
+from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused
+
+
+def main():
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tpu_cache")
+        )
+    except Exception:
+        pass
+
+    n, m = 12, 4
+    out = {}
+    for batch, horizon in ((64, 1024), (512, 1024)):
+        a, b, exp, v_x, v_xx = random_lq_problem(batch, horizon, n, m)
+        v_x_b = jnp.broadcast_to(v_x, (batch, n))
+        v_xx_b = jnp.broadcast_to(v_xx, (batch, n, n))
+        for tile_b, block_t in ((128, 8), (256, 8), (256, 16), (512, 4)):
+            if tile_b > batch:
+                continue
+            fn = jax.jit(
+                lambda aa, bb, ee, _t=tile_b, _k=block_t: riccati_backward_batched_fused(
+                    aa, bb, ee, v_x_b, v_xx_b, tile_b=_t, block_t=_k
+                )[0]
+            )
+            try:
+                sec = _time_pipelined(lambda *xs, _f=fn: _f(*xs), (a, b, exp), repeats=8)
+            except Exception as e:  # VMEM OOM and Mosaic limits surface here
+                out[f"B{batch}_tile{tile_b}_bt{block_t}"] = {"error": str(e)[:200]}
+                continue
+            out[f"B{batch}_tile{tile_b}_bt{block_t}"] = {
+                "seconds": sec,
+                "block_nnz_per_sec": block_nnz(batch, horizon) / sec,
+            }
+            print(json.dumps({f"B{batch}_tile{tile_b}_bt{block_t}": out[f"B{batch}_tile{tile_b}_bt{block_t}"]}), flush=True)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
