@@ -6,9 +6,15 @@ plant-model mismatch; round-1 collection only supported the solver's own
 model as the plant. This harness compares checkpoints from both
 distributions driving the RAW hybrid MPC (``exact_fallback=False`` — the
 certified mode would mask data-quality differences with exact iterations)
-against the mismatched MuJoCo cart-pole from held-out initial angles.
+against the mismatched MuJoCo plants from held-out initial conditions:
 
-Usage: python benchmarks/mismatch_eval.py [--json out.json]
+- cart-pole: 5 held-out pole angles, 900 physics steps (reference demo
+  shape, cartpole_sim.py:194-221);
+- quadrotor: 5 held-out (z, roll) poses, 3000 physics steps with the
+  reference's x20 control decimation (quadrotor_sim.py:195), solver model
+  parameter-matched to the compiled plant (quadrotor_wrapper.py:76-83).
+
+Usage: python benchmarks/mismatch_eval.py [--json out.json] [--system s]
 """
 
 from __future__ import annotations
@@ -22,12 +28,24 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-CHECKPOINTS = {
+CARTPOLE_CHECKPOINTS = {
     "model_plant": "checkpoints/cartpole_gain.npz",
     "mujoco_mismatch": "checkpoints/cartpole_gain_mismatch.npz",
 }
+QUADROTOR_CHECKPOINTS = {
+    "model_plant": "checkpoints/quadrotor_gain.npz",
+    "mujoco_mismatch": "checkpoints/quadrotor_gain_mismatch.npz",
+    # The reference's shipped checkpoint (ported weights): trained on ~100x
+    # more MuJoCo rows (2000-step sims, 200 epochs) — the data-scale anchor.
+    "reference_ported": "ported",
+}
 HELD_OUT_ANGLES = (-0.33, -0.17, 0.12, 0.27, 0.38)
+# (z, roll) poses off the LHS training grid (collect_and_train.py samples
+# z in [0.1, 0.9], rpy in [-0.3, 0.3] with PRNGKey(0)).
+HELD_OUT_POSES = ((0.15, 0.22), (0.33, -0.27), (0.62, 0.18), (0.78, -0.12), (0.25, 0.0))
 STEPS = 900
+QUAD_STEPS = 3000
+QUAD_DECIMATION = 20
 SETTLE_NORM = 0.05
 
 
@@ -69,35 +87,109 @@ def run_one(predictor, angle):
     }
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--json", default=None)
-    args = parser.parse_args()
+def run_one_quadrotor(predictor, pose):
+    import jax.numpy as jnp
 
+    from quattro_tpu.control import make_quadrotor_mpc
+    from quattro_tpu.sim import QuadrotorBridge
+
+    z0, roll0 = pose
+    plant = QuadrotorBridge()
+    controller = make_quadrotor_mpc(
+        mode="hybrid", predict_fn=predictor.predict_fn(),
+        prompt_len=predictor.prompt_len, exact_fallback=False,
+        quad_params=plant.solver_params(),
+    )
+    state = controller.init_state()
+    plant.reset(position=(0.0, 0.0, z0), rpy=(roll0, 0.0, 0.0))
+    x_ref = np.zeros(12)
+    x_ref[2] = 0.5
+
+    errs = []
+    u_host = np.zeros(4)
+    for step in range(QUAD_STEPS):
+        if step % QUAD_DECIMATION == 0:
+            x = plant.read_state()
+            u, _, state = controller.step(jnp.asarray(x, dtype=jnp.float32), state)
+            u_host = np.asarray(u)
+            plant.apply_thrusts(u_host)
+            errs.append(float(np.linalg.norm(x - x_ref)))
+        plant.step()
+    errs = np.asarray(errs)
+    return {
+        "pose_z_roll": list(pose),
+        "final_error": float(errs[-1]),
+        "max_error_last_third": float(errs[2 * len(errs) // 3:].max()),
+        "stabilized": bool(errs[-1] < 0.1),
+    }
+
+
+def _eval_system(checkpoints, runner, cases, err_key):
     from quattro_tpu.models import GainPredictor
 
     out = {}
-    for name, path in CHECKPOINTS.items():
-        if not os.path.exists(path):
+    for name, path in checkpoints.items():
+        if path == "ported":
+            from quattro_tpu.models.torch_port import (
+                QUADROTOR_CHECKPOINT,
+                load_torch_checkpoint,
+            )
+
+            predictor = load_torch_checkpoint(QUADROTOR_CHECKPOINT)
+            path = QUADROTOR_CHECKPOINT
+        elif not os.path.exists(path):
             print(f"{name}: {path} missing, skipped", flush=True)
             continue
-        predictor = GainPredictor.load(path)
-        runs = [run_one(predictor, a) for a in HELD_OUT_ANGLES]
-        settles = [r["settle_step"] for r in runs if r["settle_step"] is not None]
+        else:
+            predictor = GainPredictor.load(path)
+        runs = [runner(predictor, c) for c in cases]
         out[name] = {
             "checkpoint": path,
             "runs": runs,
             "stabilized": sum(r["stabilized"] for r in runs),
             "total": len(runs),
-            "median_settle_step": float(np.median(settles)) if settles else None,
         }
+        finals = [r[err_key] for r in runs]
+        out[name]["final_range"] = [float(min(finals)), float(max(finals))]
         print(f"{name}: {out[name]['stabilized']}/{out[name]['total']} stabilized, "
-              f"median settle {out[name]['median_settle_step']}", flush=True)
+              f"final {err_key} range {out[name]['final_range']}", flush=True)
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--json", default=None)
+    parser.add_argument("--system", default=None, choices=["cartpole", "quadrotor"])
+    args = parser.parse_args()
+
+    out = {}
+    if args.system in (None, "cartpole"):
+        print("== cartpole ==", flush=True)
+        out["cartpole"] = _eval_system(
+            CARTPOLE_CHECKPOINTS, run_one, HELD_OUT_ANGLES, "final_norm"
+        )
+        # Cart-pole extras kept from the round-2 table: median settle step.
+        for name, rec in out["cartpole"].items():
+            settles = [r["settle_step"] for r in rec["runs"] if r.get("settle_step") is not None]
+            rec["median_settle_step"] = float(np.median(settles)) if settles else None
+    if args.system in (None, "quadrotor"):
+        print("== quadrotor ==", flush=True)
+        out["quadrotor"] = _eval_system(
+            QUADROTOR_CHECKPOINTS, run_one_quadrotor, HELD_OUT_POSES, "final_error"
+        )
 
     print(json.dumps(out, indent=2))
     if args.json:
+        merged = {}
+        if os.path.exists(args.json):
+            try:
+                with open(args.json) as f:
+                    merged = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                merged = {}
+        merged.update(out)
         with open(args.json, "w") as f:
-            json.dump(out, f, indent=2)
+            json.dump(merged, f, indent=2)
 
 
 if __name__ == "__main__":

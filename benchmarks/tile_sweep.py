@@ -11,6 +11,16 @@ VMEM budget per grid step (double-buffered): ~656 floats/stage * block_t *
 tile_b * 4 B * 2 -> (128, 8)=5.4 MB, (256, 8)=10.7 MB, (512, 4)=10.7 MB of
 the ~16 MB/core.
 
+MEASURED OUTCOME (v5e, 2026-08-19): tile_b=128/block_t=8 (the shipped
+default) is the only configuration that compiles — every wider tile
+(256x8, 256x16, 512x4) is rejected by the TPU compile helper (VMEM
+over-budget once sublane padding of the n=12/m=4 dims is applied: the
+nominal budget above under-counts rows padded 12->16 and the output/
+scratch buffers). At the surviving config the kernel already reaches
+141-150M block-nnz/s at B=512 (results_tpu.json "pod_scale"), so the
+default stands; this script is kept as the rerun harness for future
+hardware with bigger VMEM.
+
 Usage: python benchmarks/tile_sweep.py
 """
 
