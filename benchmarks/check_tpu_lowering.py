@@ -118,6 +118,26 @@ def main() -> int:
         a_b, b_b,
     )
 
+    # Batched fused line-search rollout at both batched-regime shapes.
+    from quattro_tpu.ops.fused_rollout import fused_feedback_rollouts_batched
+
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.05, 0.01])
+    for batch, horizon in ((512, 50), (64, 1024)):
+        x0_b = jnp.broadcast_to(x0, (batch, n))
+        u0 = jnp.zeros((horizon, m))
+        x_seq = simulate(dyn, x0, u0)
+        xref_b = jnp.broadcast_to(x_seq, (batch,) + x_seq.shape)
+        uref_b = jnp.zeros((batch, horizon, m))
+        k_b = jnp.zeros((batch, horizon, m))
+        bigk_b = jnp.zeros((batch, horizon, m, n))
+        check(
+            f"fused_feedback_rollouts_batched B{batch}xH{horizon}",
+            lambda xb, ub, _xr=xref_b, _k=k_b, _bk=bigk_b: fused_feedback_rollouts_batched(
+                dyn, xb, _xr, ub, _k, _bk, alphas
+            )[0],
+            x0_b, uref_b,
+        )
+
     if failures:
         print(f"FAILED: {failures}")
         return 1

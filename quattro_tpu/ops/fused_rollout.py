@@ -130,3 +130,197 @@ def fused_feedback_rollouts(
 
     # Time-major (dynamic leading-index stores) -> candidate-major.
     return jnp.swapaxes(x_tm, 0, 1), jnp.swapaxes(u_tm, 0, 1)
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def fused_feedback_rollouts_batched(
+    dynamics: Dynamics,
+    x0: jnp.ndarray,  # (B, n)
+    x_ref_seq: jnp.ndarray,  # (B, H+1, n) (only the first H rows are read)
+    u_ref_seq: jnp.ndarray,  # (B, H, m)
+    k_seq: jnp.ndarray,  # (B, H, m)
+    big_k_seq: jnp.ndarray,  # (B, H, m, n)
+    alphas: jnp.ndarray,  # (A,)
+    interpret: bool = False,
+    tile_b: int = 128,
+    block_t: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-alpha closed-loop rollouts for a TRAJECTORY BATCH in one kernel.
+
+    The batched-regime counterpart of ``fused_feedback_rollouts``: after the
+    fused backward pass (ops/fused_riccati.py) removed the Riccati scan's
+    per-step XLA overhead, the vmapped line-search rollout became the batched
+    iteration's sequential bottleneck — the same ~tens-of-us-per-step while
+    loop pathology. Same medicine: the whole rollout runs inside one Pallas
+    ``fori_loop`` with the state carry VMEM-resident.
+
+    Layout (mirrors the fused backward kernel): trajectory batch on the LANE
+    axis (tile_b lanes per grid step), alphas on sublanes — the plant is
+    traced in with a DOUBLE vmap so every per-component scalar intermediate
+    becomes an (A, tile_b) VPU tile. Per-step refs stream HBM -> VMEM in
+    ``block_t``-step horizon blocks through the Pallas pipeline; the horizon
+    axis is the innermost (sequential) grid dimension.
+
+    Returns ``(cand_x (A, B, H+1, n), cand_u (A, B, H, m))`` — identical
+    contents to ``vmap(vmap(feedback_rollout))`` over (alpha, batch) up to
+    f32 reassociation noise. Costs are evaluated OUTSIDE (see
+    ``fused_feedback_rollouts``'s rationale).
+    """
+    batch, horizon, m = u_ref_seq.shape
+    n = x0.shape[-1]
+    n_alpha = alphas.shape[0]
+    dtype = x0.dtype
+
+    b_pad = _round_up(max(batch, tile_b), tile_b)
+    h_pad = _round_up(horizon, block_t)
+
+    def pad_b(x):
+        if b_pad == batch:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((b_pad - batch,) + x.shape[1:], x.dtype)], axis=0
+        )
+
+    def pad_h(x):
+        # APPEND junk steps (they run after every real step and their rows
+        # are sliced off; zero dynamics inputs keep the padded plant evals
+        # finite for the standard systems).
+        if h_pad == horizon:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], h_pad - horizon) + x.shape[2:], x.dtype)],
+            axis=1,
+        )
+
+    x0_p = pad_b(x0)
+    xref_p = pad_h(pad_b(x_ref_seq[:, :horizon]))
+    uref_p = pad_h(pad_b(u_ref_seq))
+    k_p = pad_h(pad_b(k_seq))
+    bigk_p = pad_h(pad_b(big_k_seq))
+
+    # SoA transposes (one XLA transpose per operand, bandwidth-bound):
+    x0_t = x0_p.T  # (n, B)
+    xref_t = jnp.transpose(xref_p, (1, 2, 0))  # (H, n, B)
+    uref_t = jnp.transpose(uref_p, (1, 2, 0))  # (H, m, B)
+    k_t = jnp.transpose(k_p, (1, 2, 0))  # (H, m, B)
+    bigk_t = jnp.transpose(bigk_p, (1, 2, 3, 0))  # (H, m, n, B)
+    alpha_col = alphas[:, None].astype(dtype)  # (A, 1)
+
+    from quattro_tpu.ops.fused_solve import _hoist_array_constants
+
+    dyn_conv, dyn_consts = _hoist_array_constants(
+        dynamics,
+        jax.ShapeDtypeStruct((n,), dtype),
+        jax.ShapeDtypeStruct((m,), dtype),
+    )
+    const_shapes = [jnp.shape(c) for c in dyn_consts]
+    const_rows = [jnp.reshape(jnp.asarray(c), (1, -1)) for c in dyn_consts]
+    n_grid_h = h_pad // block_t
+    n_grid_b = b_pad // tile_b
+
+    def kernel(x0_r, xref_r, uref_r, k_r, bigk_r, alpha_r, *refs):
+        from jax.experimental import pallas as pl
+
+        const_refs = refs[: len(dyn_consts)]
+        x_out, u_out = refs[len(dyn_consts) : len(dyn_consts) + 2]
+        x_s = refs[-1]  # scratch (n, A, tile_b)
+        const_vals = [
+            jnp.reshape(r[...], shp) for r, shp in zip(const_refs, const_shapes)
+        ]
+        # Components-first double vmap: x (n, A, B) -> intermediates (A, B).
+        step_fn = jax.vmap(
+            jax.vmap(
+                lambda x, u: dyn_conv(x, u, *const_vals),
+                in_axes=(-1, -1),
+                out_axes=-1,
+            ),
+            in_axes=(1, 1),
+            out_axes=1,
+        )
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            x_s[...] = jnp.broadcast_to(x0_r[...][:, None, :], (n, n_alpha, tile_b))
+
+        alpha = alpha_r[...]  # (A, 1)
+
+        def step(tt, _):
+            x = x_s[...]  # (n, A, B)
+            kk = k_r[tt]  # (m, B)
+            bigk = bigk_r[tt]  # (m, n, B)
+            xref = xref_r[tt]  # (n, B)
+            uref = uref_r[tt]  # (m, B)
+            dx = x - xref[:, None, :]  # (n, A, B)
+            u_rows = []
+            for j in range(m):
+                du = kk[j] + sum(dx[i] * bigk[j, i] for i in range(n))  # (A, B)
+                u_rows.append(uref[j] + alpha * du)
+            u = jnp.stack(u_rows, axis=0)  # (m, A, B)
+            x_next = step_fn(x, u)
+            x_out[tt] = x_next
+            u_out[tt] = u
+            x_s[...] = x_next
+            return 0
+
+        jax.lax.fori_loop(0, block_t, step, 0)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (n_grid_b, n_grid_h)
+
+    def hspec(*dims):
+        return pl.BlockSpec(
+            (block_t,) + dims + (tile_b,),
+            lambda ib, ih: (ih,) + (0,) * len(dims) + (ib,),
+            memory_space=pltpu.VMEM,
+        )
+
+    x0_spec = pl.BlockSpec((n, tile_b), lambda ib, ih: (0, ib), memory_space=pltpu.VMEM)
+    alpha_spec = pl.BlockSpec(
+        (n_alpha, 1), lambda ib, ih: (0, 0), memory_space=pltpu.VMEM
+    )
+    x_soa, u_soa = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            x0_spec,
+            hspec(n),  # xref
+            hspec(m),  # uref
+            hspec(m),  # k
+            hspec(m, n),  # big K
+            alpha_spec,
+        ]
+        + [
+            pl.BlockSpec(c.shape, lambda ib, ih: (0, 0), memory_space=pltpu.VMEM)
+            for c in const_rows
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block_t, n, n_alpha, tile_b),
+                lambda ib, ih: (ih, 0, 0, ib),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_t, m, n_alpha, tile_b),
+                lambda ib, ih: (ih, 0, 0, ib),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h_pad, n, n_alpha, b_pad), dtype),
+            jax.ShapeDtypeStruct((h_pad, m, n_alpha, b_pad), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, n_alpha, tile_b), dtype)],
+        interpret=interpret,
+    )(x0_t, xref_t, uref_t, k_t, bigk_t, alpha_col, *const_rows)
+
+    # SoA time-major (states AFTER each step) -> (A, B, H, .); prepend x0.
+    x_steps = jnp.transpose(x_soa[:horizon], (2, 3, 0, 1))[:, :batch]  # (A, B, H, n)
+    u_steps = jnp.transpose(u_soa[:horizon], (2, 3, 0, 1))[:, :batch]  # (A, B, H, m)
+    x0_bc = jnp.broadcast_to(x0[None, :, None, :], (n_alpha, batch, 1, n))
+    cand_x = jnp.concatenate([x0_bc, x_steps], axis=2)  # (A, B, H+1, n)
+    return cand_x, u_steps

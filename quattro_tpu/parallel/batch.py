@@ -48,7 +48,10 @@ def _fused_backend_applies(config: ILQRConfig, x0_batch, u_init_batch) -> bool:
         and not config.adaptive_reg
         and config.riccati == "auto"
         and config.parallel_riccati is None
-        and config.linesearch == "xla"
+        # linesearch="fused" composes: the batched iteration swaps its
+        # vmapped-scan rollouts for the batched rollout kernel
+        # (ops/fused_rollout.py::fused_feedback_rollouts_batched).
+        and config.linesearch in ("xla", "fused")
     )
 
 
@@ -96,15 +99,11 @@ def batched_ilqr_solve(
                 "riccati_backend='fused' bakes reg into the kernel as a literal; "
                 "the adaptive LM mu-schedule needs riccati_backend='vmap'"
             )
-        if (
-            config.riccati != "auto"
-            or config.parallel_riccati is not None
-            or config.linesearch != "xla"
-        ):
+        if config.riccati != "auto" or config.parallel_riccati is not None:
             raise ValueError(
-                "riccati_backend='fused' runs the fused sequential-law kernel "
-                "with the XLA line search; pinned riccati=/parallel_riccati/"
-                "linesearch settings conflict — use riccati_backend='vmap'"
+                "riccati_backend='fused' runs the fused sequential-law kernel; "
+                "pinned riccati=/parallel_riccati settings conflict — use "
+                "riccati_backend='vmap'"
             )
         n, m = x0_batch.shape[-1], u_init_batch.shape[-1]
         if n > 16 or m > 8:
@@ -155,6 +154,23 @@ def _batched_ilqr_solve_fused(
     n = x0_batch.shape[-1]
     alphas = jnp.asarray(config.alphas, dtype=x_init.dtype)
 
+    if config.linesearch == "fused":
+        from quattro_tpu.solver.rollout import line_search_batched_fused
+
+        def run_line_search(xs, us, k, big_k, cs):
+            return line_search_batched_fused(
+                dynamics, cost, final_cost, x0_batch, xs, us, k, big_k, cs,
+                alphas, interpret=interpret,
+            )
+    else:
+
+        def run_line_search(xs, us, k, big_k, cs):
+            return jax.vmap(
+                lambda x0, x, u, kk, kb, c: line_search(
+                    dynamics, cost, final_cost, x0, x, u, kk, kb, c, alphas
+                )
+            )(x0_batch, xs, us, k, big_k, cs)
+
     def cond(state):
         trip, done = state[5], state[6]
         return jnp.logical_and(trip < config.max_iter, jnp.logical_not(jnp.all(done)))
@@ -167,11 +183,7 @@ def _batched_ilqr_solve_fused(
         k, big_k = riccati_backward_batched_fused(
             a, b, exp, fexp.v_x, fexp.v_xx, config.reg, interpret=interpret
         )
-        found, _, new_x, new_u, new_cost = jax.vmap(
-            lambda x0, x, u, kk, kb, c: line_search(
-                dynamics, cost, final_cost, x0, x, u, kk, kb, c, alphas
-            )
-        )(x0_batch, xs, us, k, big_k, cs)
+        found, _, new_x, new_u, new_cost = run_line_search(xs, us, k, big_k, cs)
 
         active = jnp.logical_not(done)
 

@@ -98,6 +98,8 @@ class ILQRConfig(NamedTuple):
     # "xla": all-alpha vmapped scan; "fused": one Pallas kernel with the
     # dynamics traced in (ops/fused_rollout.py) — the single-trajectory
     # latency fast path, same Mosaic-compile-cost caveat as riccati="fused".
+    # Under batched_ilqr_solve's fused backend, "fused" selects the BATCHED
+    # rollout kernel (batch on lanes, alphas on sublanes) instead.
     linesearch: str = "xla"
 
 

@@ -151,6 +151,42 @@ def line_search_fused(
     )
 
 
+def line_search_batched_fused(
+    dynamics: Dynamics,
+    cost: RunningCost,
+    final_cost: FinalCost,
+    x0_batch: jnp.ndarray,  # (B, n)
+    x_ref_batch: jnp.ndarray,  # (B, H+1, n)
+    u_ref_batch: jnp.ndarray,  # (B, H, m)
+    k_batch: jnp.ndarray,  # (B, H, m)
+    big_k_batch: jnp.ndarray,  # (B, H, m, n)
+    current_cost: jnp.ndarray,  # (B,)
+    alphas: jnp.ndarray,  # (A,)
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched-trajectory ``line_search`` with all rollouts in ONE kernel.
+
+    The batched-regime analogue of ``line_search_fused``: every (alpha,
+    trajectory) rollout runs inside one Pallas kernel with the batch on the
+    lane axis (ops/fused_rollout.py::fused_feedback_rollouts_batched);
+    candidate costs and the per-trajectory first-accept select stay in XLA.
+    Same accept semantics as ``vmap(line_search)`` over the batch. Returns
+    batched (found (B,), chosen_alpha (B,), new_x (B, H+1, n),
+    new_u (B, H, m), new_cost (B,)).
+    """
+    from quattro_tpu.ops.fused_rollout import fused_feedback_rollouts_batched
+
+    cand_x, cand_u = fused_feedback_rollouts_batched(
+        dynamics, x0_batch, x_ref_batch, u_ref_batch, k_batch, big_k_batch,
+        alphas, interpret=interpret,
+    )
+    traj_cost = lambda xs, us: trajectory_cost(cost, final_cost, xs, us)
+    cand_cost = jax.vmap(jax.vmap(traj_cost))(cand_x, cand_u)  # (A, B)
+    return jax.vmap(
+        _first_accept_select, in_axes=(1, 1, 1, 0, 0, 0, None)
+    )(cand_x, cand_u, cand_cost, x_ref_batch, u_ref_batch, current_cost, alphas)
+
+
 def _first_accept_select(cand_x, cand_u, cand_cost, x_ref_seq, u_ref_seq, current_cost, alphas):
     accepted = cand_cost <= current_cost
     found = jnp.any(accepted)

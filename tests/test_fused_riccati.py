@@ -125,9 +125,11 @@ def test_batched_solve_backend_validation():
 
 
 def test_auto_dispatch_respects_pinned_algorithm(monkeypatch):
-    """A user who pins riccati=/parallel_riccati/linesearch asked for a
-    specific algorithm; the batched 'auto' dispatch must not substitute the
-    fused sequential-law kernel for it."""
+    """A user who pins riccati=/parallel_riccati asked for a specific
+    backward-pass algorithm; the batched 'auto' dispatch must not substitute
+    the fused sequential-law kernel for it. linesearch="fused" COMPOSES
+    instead: the batched iteration swaps in the batched rollout kernel
+    (ops/fused_rollout.py::fused_feedback_rollouts_batched)."""
     from quattro_tpu.parallel.batch import _fused_backend_applies
     from quattro_tpu.solver import ILQRConfig
 
@@ -138,7 +140,7 @@ def test_auto_dispatch_respects_pinned_algorithm(monkeypatch):
     assert not _fused_backend_applies(ILQRConfig(riccati="assoc"), x0, u0)
     assert not _fused_backend_applies(ILQRConfig(riccati="seq"), x0, u0)
     assert not _fused_backend_applies(ILQRConfig(parallel_riccati=True), x0, u0)
-    assert not _fused_backend_applies(ILQRConfig(linesearch="fused"), x0, u0)
+    assert _fused_backend_applies(ILQRConfig(linesearch="fused"), x0, u0)
     assert not _fused_backend_applies(ILQRConfig(adaptive_reg=True), x0, u0)
 
 

@@ -140,6 +140,97 @@ def test_fused_linesearch_mode_in_solver():
     np.testing.assert_allclose(np.asarray(got.u_seq), np.asarray(ref.u_seq), atol=1e-8)
 
 
+def _quad_batch_setup(batch=5, horizon=13, seed=9, dtype=jnp.float64):
+    dyn = make_discrete(quadrotor_dynamics, 0.01, "rk4")
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    x0 = 0.1 * jax.random.normal(k1, (batch, 12), dtype)
+    x_ref = 0.1 * jax.random.normal(k2, (batch, horizon + 1, 12), dtype)
+    u_ref = 2.4525 + 0.1 * jax.random.normal(k3, (batch, horizon, 4), dtype)
+    k_seq = 0.05 * jax.random.normal(k4, (batch, horizon, 4), dtype)
+    big_k = 0.05 * jax.random.normal(k5, (batch, horizon, 4, 12), dtype)
+    return dyn, x0, x_ref, u_ref, k_seq, big_k
+
+
+def test_fused_batched_rollouts_match_double_vmap():
+    """Batched kernel (batch on lanes, alphas on sublanes) vs
+    vmap(vmap(feedback_rollout)) — exact in f64 interpret mode, including
+    batch-pad (B=5 < 128) and horizon-pad (H=13 % 8 != 0) paths."""
+    from quattro_tpu.ops.fused_rollout import fused_feedback_rollouts_batched
+
+    dyn, x0, x_ref, u_ref, k_seq, big_k = _quad_batch_setup()
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.05, 0.01], x0.dtype)
+
+    cand_x, cand_u = fused_feedback_rollouts_batched(
+        dyn, x0, x_ref, u_ref, k_seq, big_k, alphas, interpret=True
+    )
+
+    zero = lambda *a: jnp.asarray(0.0, x0.dtype)
+
+    def one(alpha, x0_, xr, ur, kk, kb):
+        xs, us, _ = feedback_rollout(dyn, zero, zero, x0_, xr, ur, kk, kb, alpha)
+        return xs, us
+
+    ref_x, ref_u = jax.vmap(
+        lambda alpha: jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0))(
+            alpha, x0, x_ref, u_ref, k_seq, big_k
+        )
+    )(alphas)
+    np.testing.assert_allclose(np.asarray(cand_x), np.asarray(ref_x), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cand_u), np.asarray(ref_u), rtol=1e-12, atol=1e-12)
+
+
+def test_line_search_batched_fused_matches_vmapped():
+    from quattro_tpu.solver.rollout import line_search_batched_fused
+
+    dyn, x0, x_ref, u_ref, k_seq, big_k = _quad_batch_setup(batch=4, horizon=11, seed=2)
+    x_goal = jnp.zeros(12, x_ref.dtype).at[2].set(0.5)
+    cost = make_quadratic_cost(
+        jnp.full((12,), 1.0), jnp.full((4,), 0.01), x_goal, barrier_alpha=1000.0
+    )
+    fcost = make_quadratic_final_cost(jnp.full((12,), 10.0), x_goal)
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.05, 0.01], x0.dtype)
+    # Mixed accepts: lane 0 forced accept, others realistic.
+    current = jnp.asarray([1e9, 50.0, 120.0, 80.0], x0.dtype)
+
+    ref = jax.vmap(
+        lambda x0_, xr, ur, kk, kb, c: line_search(
+            dyn, cost, fcost, x0_, xr, ur, kk, kb, c, alphas
+        )
+    )(x0, x_ref, u_ref, k_seq, big_k, current)
+    got = line_search_batched_fused(
+        dyn, cost, fcost, x0, x_ref, u_ref, k_seq, big_k, current, alphas,
+        interpret=True,
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-11, atol=1e-11)
+
+
+def test_batched_solver_fused_linesearch_matches_xla():
+    """_batched_ilqr_solve_fused with linesearch="fused" reproduces the
+    linesearch="xla" batched solve (interpret mode, f64 exact)."""
+    from quattro_tpu.parallel.batch import _batched_ilqr_solve_fused
+
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(
+        jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), jnp.zeros(4)
+    )
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), jnp.zeros(4))
+    key = jax.random.PRNGKey(4)
+    x0 = 0.2 * jax.random.normal(key, (3, 4), jnp.float64)
+    u0 = jnp.zeros((3, 10, 1), jnp.float64)
+    ref = _batched_ilqr_solve_fused(
+        dyn, cost, fcost, x0, u0, ILQRConfig(tol=1e-1, max_iter=4), interpret=True
+    )
+    got = _batched_ilqr_solve_fused(
+        dyn, cost, fcost, x0, u0,
+        ILQRConfig(tol=1e-1, max_iter=4, linesearch="fused"), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.u_seq), np.asarray(ref.u_seq), atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(got.iterations), np.asarray(ref.iterations))
+
+
 def test_unknown_linesearch_mode_raises():
     dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
     cost = make_quadratic_cost(
