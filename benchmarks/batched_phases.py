@@ -1,0 +1,130 @@
+"""Where does a BATCHED iLQR iteration's time go? Per-phase timing.
+
+The fused backward kernel (ops/fused_riccati.py) removed the Riccati
+recursion's XLA scan overhead from the batched regime; this harness measures
+what is left — per phase, at the two canonical batched shapes:
+
+- sweep   (B=512, H=50):  data-collection / batch-throughput shape
+- pod_feed (B=64, H=1024): BASELINE config-5 per-chip chunk
+
+Phases (one batched iLQR iteration = all four):
+  linearize   vmapped jacfwd A/B             (solver/derivatives.py)
+  quadratize  vmapped cost expansion         (solver/derivatives.py)
+  backward    fused Pallas kernel            (ops/fused_riccati.py)
+  linesearch  vmapped all-alpha scan rollout + cost + first-accept select
+
+Timing via _time_pipelined (dependency-chained repeats inside one jitted
+fori_loop — see benchmarks/suite.py for why naive timing lies on this rig).
+
+Usage: python benchmarks/batched_phases.py [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from benchmarks.suite import _time_pipelined  # noqa: E402
+
+
+def build(system_batch, horizon):
+    from quattro_tpu.solver import make_quadratic_cost, make_quadratic_final_cost
+    from quattro_tpu.systems import make_discrete, quadrotor_dynamics
+
+    x_ref = jnp.zeros(12).at[2].set(0.5)
+    q = jnp.array([10.0, 10.0, 50.0, 1, 1, 1, 10.0, 10.0, 50.0, 1, 1, 1])
+    qf = jnp.array([100.0, 100.0, 500.0, 10, 10, 10, 100.0, 100.0, 500.0, 10, 10, 10])
+    dyn = make_discrete(quadrotor_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(q, jnp.full((4,), 0.01), x_ref, barrier_alpha=1000.0)
+    fcost = make_quadratic_final_cost(qf, x_ref)
+    return dyn, cost, fcost
+
+
+def bench_shape(batch, horizon, repeats=8):
+    from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused
+    from quattro_tpu.solver.derivatives import (
+        linearize_dynamics,
+        quadratize_cost,
+        quadratize_final_cost,
+    )
+    from quattro_tpu.solver.rollout import line_search, simulate
+
+    n, m = 12, 4
+    dyn, cost, fcost = build(batch, horizon)
+
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (batch, n), dtype=jnp.float32) * 0.1
+    x0 = x0.at[:, 2].add(0.3)
+    us = jnp.full((batch, horizon, m), 2.4525, dtype=jnp.float32)
+    xs = jax.jit(jax.vmap(lambda x, u: simulate(dyn, x, u)))(x0, us)
+
+    lin = jax.jit(jax.vmap(lambda x, u: linearize_dynamics(dyn, x, u)))
+    quad = jax.jit(jax.vmap(lambda x, u: quadratize_cost(cost, x, u)))
+    fquad = jax.jit(jax.vmap(lambda x: quadratize_final_cost(fcost, x)))
+
+    a, b = lin(xs, us)
+    exp = quad(xs, us)
+    fexp = fquad(xs[:, -1])
+
+    back = jax.jit(
+        lambda aa, bb, ee, vx, vxx: riccati_backward_batched_fused(aa, bb, ee, vx, vxx)[0]
+    )
+    k, big_k = jax.jit(
+        lambda aa, bb, ee, vx, vxx: riccati_backward_batched_fused(aa, bb, ee, vx, vxx)
+    )(a, b, exp, fexp.v_x, fexp.v_xx)
+    cost0 = jax.jit(
+        jax.vmap(lambda x, u: jnp.sum(jax.vmap(cost)(x[:-1], u)) + fcost(x[-1]))
+    )(xs, us)
+    alphas = jnp.asarray((1.0, 0.5, 0.25, 0.1, 0.05, 0.01), dtype=jnp.float32)
+
+    ls = jax.jit(
+        jax.vmap(
+            lambda x0_, x_, u_, k_, kb_, c_: line_search(
+                dyn, cost, fcost, x0_, x_, u_, k_, kb_, c_, alphas
+            )[4]
+        )
+    )
+
+    out = {}
+    out["linearize"] = _time_pipelined(lambda x, u: lin(x, u)[0], (xs, us), repeats=repeats)
+    out["quadratize"] = _time_pipelined(lambda x, u: quad(x, u).l_x, (xs, us), repeats=repeats)
+    out["backward_fused"] = _time_pipelined(
+        lambda aa, bb: back(aa, bb, exp, fexp.v_x, fexp.v_xx), (a, b), repeats=repeats
+    )
+    out["linesearch"] = _time_pipelined(
+        lambda x, u: ls(x0, x, u, k, big_k, cost0), (xs, us), repeats=repeats
+    )
+    out["iteration_total"] = sum(out.values())
+    out["shape"] = {"batch": batch, "horizon": horizon, "n": n, "m": m}
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--json", default=None)
+    args = parser.parse_args()
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tpu_cache")
+    )
+
+    out = {"backend": jax.default_backend()}
+    out["sweep_B512_H50"] = bench_shape(512, 50)
+    print(json.dumps({"sweep_B512_H50": out["sweep_B512_H50"]}, indent=2), flush=True)
+    out["pod_feed_B64_H1024"] = bench_shape(64, 1024)
+    print(json.dumps({"pod_feed_B64_H1024": out["pod_feed_B64_H1024"]}, indent=2), flush=True)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

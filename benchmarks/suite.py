@@ -385,10 +385,13 @@ def bench_pod_scale():
     # pre-permuted SoA layout and fits CHUNK=512 comfortably, while the
     # vmapped scan's while-body layouts pad its small per-lane tensors
     # ~14x (measured: 1.09 GB unpadded -> 15.04 GB padded HBM temp at
-    # B=512) and OOMs — it gets the proven pod-feed chunk of 64.
+    # B=512) and OOMs there — so the scan comparator is SWEPT over
+    # 64/128/256 (skipping chunks that OOM) and reports its best, to avoid
+    # understating the baseline.
     results = {}
     nnz_total = block_nnz(total_traj, horizon)
-    for name, chunk in (("fused", 512), ("scan", 64)):
+
+    def run_chunk(name, chunk):
         n_chunks = total_traj // chunk
         a, b, exp, v_x, v_xx = random_lq_problem(chunk, horizon, n, m)
         if name == "fused":
@@ -410,13 +413,25 @@ def bench_pod_scale():
             repeats=min(n_chunks, 16),
         )
         total = per_chunk * n_chunks
-        results[name] = {
+        return {
             "chunk": chunk,
             "n_chunks": n_chunks,
             "seconds_total_4096xH1024": total,
             "block_nnz_per_sec": nnz_total / total,
             "traj_sweeps_per_sec": total_traj / total,
         }
+
+    results["fused"] = run_chunk("fused", 512)
+    scan_sweep = {}
+    for chunk in (64, 128, 256):
+        try:
+            scan_sweep[str(chunk)] = run_chunk("scan", chunk)
+        except Exception as e:  # XlaRuntimeError: RESOURCE_EXHAUSTED etc.
+            scan_sweep[str(chunk)] = {"chunk": chunk, "error": type(e).__name__}
+            print(f"pod_scale scan chunk={chunk}: {type(e).__name__}", flush=True)
+    ok = [v for v in scan_sweep.values() if "error" not in v]
+    results["scan"] = min(ok, key=lambda v: v["seconds_total_4096xH1024"])
+    results["scan_chunk_sweep"] = scan_sweep
     results["shape"] = {
         "total_traj": total_traj, "horizon": horizon, "n": n, "m": m,
         "note": "chained chunk dispatches in one fori_loop; chunk data "

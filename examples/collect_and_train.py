@@ -54,7 +54,19 @@ def quadrotor_setup(horizon):
     return dyn, cost, fcost, 12, 4
 
 
-def initial_states(system, num, key):
+# Quadrotor LHS pose envelopes (x, y, z, roll, pitch, yaw).
+# "reference" matches the reference's near-hover collection bounds
+# (quadrotor training_data_collection.py:272-274) — the shipped 616.2k
+# checkpoint's training distribution; "wide" is this repo's broader envelope.
+QUAD_ENVELOPES = {
+    "reference": ((-0.3, -0.3, 0.49, -0.2, -0.2, -0.5),
+                  (0.3, 0.3, 0.51, 0.2, 0.2, 0.5)),
+    "wide": ((-0.5, -0.5, 0.1, -0.3, -0.3, -0.3),
+             (0.5, 0.5, 0.9, 0.3, 0.3, 0.3)),
+}
+
+
+def initial_states(system, num, key, envelope="wide"):
     """Grid sweep for cart-pole (reference: pos x angle arange(-0.5, 0.51,
     0.05), training_data_collection.py:297-298); LHS over pose bounds for the
     quadrotor (reference: scipy.qmc LatinHypercube, :269-288)."""
@@ -72,8 +84,9 @@ def initial_states(system, num, key):
         x0[:, 2] = grid[:, 1]
         return jnp.asarray(x0, dtype=jnp.float32)
 
-    lower = jnp.array([-0.5, -0.5, 0.1, -0.3, -0.3, -0.3])
-    upper = jnp.array([0.5, 0.5, 0.9, 0.3, 0.3, 0.3])
+    lo, hi = QUAD_ENVELOPES[envelope]
+    lower = jnp.array(lo)
+    upper = jnp.array(hi)
     pose = lhs_initial_states(key, lower, upper, num)  # x, y, z, r, p, y
     x0 = jnp.zeros((num, 12))
     x0 = x0.at[:, 0:3].set(pose[:, 0:3])
@@ -125,6 +138,11 @@ def main() -> None:
     parser.add_argument("--horizon", type=int, default=None)
     parser.add_argument("--prompt-len", type=int, default=None)
     parser.add_argument("--num-inits", type=int, default=64)
+    parser.add_argument("--envelope", default="wide", choices=sorted(QUAD_ENVELOPES),
+                        help="quadrotor initial-pose LHS bounds: 'reference' = the "
+                             "reference's near-hover collection envelope "
+                             "(training_data_collection.py:272-274), 'wide' = this "
+                             "repo's broader envelope (cart-pole ignores this)")
     parser.add_argument("--sim-steps", type=int, default=100)
     parser.add_argument("--max-iter", type=int, default=8)
     parser.add_argument("--epochs", type=int, default=60)
@@ -181,7 +199,7 @@ def main() -> None:
 
     dyn, cost, fcost, n, m = setup(horizon)
     key = jax.random.PRNGKey(0)
-    x0s = initial_states(args.system, args.num_inits, key)
+    x0s = initial_states(args.system, args.num_inits, key, envelope=args.envelope)
 
     t0 = time.time()
     solve_config = ILQRConfig(tol=tol, max_iter=args.max_iter)
