@@ -11,7 +11,9 @@ Phases (one batched iLQR iteration = all four):
   linearize   vmapped jacfwd A/B             (solver/derivatives.py)
   quadratize  vmapped cost expansion         (solver/derivatives.py)
   backward    fused Pallas kernel            (ops/fused_riccati.py)
-  linesearch  vmapped all-alpha scan rollout + cost + first-accept select
+  linesearch        vmapped all-alpha scan rollout + cost + first-accept
+  linesearch_fused  the batched all-alpha rollout Pallas kernel
+                    (ops/fused_rollout.py) + XLA cost/select
 
 Timing via _time_pipelined (dependency-chained repeats inside one jitted
 fori_loop — see benchmarks/suite.py for why naive timing lies on this rig).
@@ -92,6 +94,14 @@ def bench_shape(batch, horizon, repeats=8):
         )
     )
 
+    from quattro_tpu.solver.rollout import line_search_batched_fused
+
+    ls_fused = jax.jit(
+        lambda x0_, x_, u_, k_, kb_, c_: line_search_batched_fused(
+            dyn, cost, fcost, x0_, x_, u_, k_, kb_, c_, alphas
+        )[4]
+    )
+
     out = {}
     out["linearize"] = _time_pipelined(lambda x, u: lin(x, u)[0], (xs, us), repeats=repeats)
     out["quadratize"] = _time_pipelined(lambda x, u: quad(x, u).l_x, (xs, us), repeats=repeats)
@@ -101,7 +111,16 @@ def bench_shape(batch, horizon, repeats=8):
     out["linesearch"] = _time_pipelined(
         lambda x, u: ls(x0, x, u, k, big_k, cost0), (xs, us), repeats=repeats
     )
-    out["iteration_total"] = sum(out.values())
+    out["linesearch_fused"] = _time_pipelined(
+        lambda x, u: ls_fused(x0, x, u, k, big_k, cost0), (xs, us), repeats=repeats
+    )
+    out["iteration_total_xla_ls"] = (
+        out["linearize"] + out["quadratize"] + out["backward_fused"] + out["linesearch"]
+    )
+    out["iteration_total_fused_ls"] = (
+        out["linearize"] + out["quadratize"] + out["backward_fused"]
+        + out["linesearch_fused"]
+    )
     out["shape"] = {"batch": batch, "horizon": horizon, "n": n, "m": m}
     return out
 

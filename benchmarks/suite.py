@@ -345,13 +345,20 @@ def bench_batch_throughput():
             0.2 + 0.3 * jax.random.uniform(key, (batch,))
         )
         u0s = jnp.zeros((batch, 50, 4))
-        cfg = ILQRConfig(tol=0.0, max_iter=4)
-        fn = jax.jit(lambda x, u: batched_ilqr_solve(dyn, cost, fcost, x, u, cfg).cost)
-        elapsed = _time_pipelined(fn, (x0s, u0s), repeats=5)
-        results[f"batch_{batch}"] = {
-            "seconds": elapsed,
-            "solves_per_sec": batch / elapsed,
-        }
+        for tag, cfg in (
+            ("", ILQRConfig(tol=0.0, max_iter=4)),
+            # Fully-fused batched iteration: Pallas backward + Pallas
+            # all-alpha rollout kernel (linesearch="fused").
+            ("_fused_ls", ILQRConfig(tol=0.0, max_iter=4, linesearch="fused")),
+        ):
+            fn = jax.jit(
+                lambda x, u, _c=cfg: batched_ilqr_solve(dyn, cost, fcost, x, u, _c).cost
+            )
+            elapsed = _time_pipelined(fn, (x0s, u0s), repeats=5)
+            results[f"batch_{batch}{tag}"] = {
+                "seconds": elapsed,
+                "solves_per_sec": batch / elapsed,
+            }
     return results
 
 

@@ -99,6 +99,8 @@ def collect_gain_dataset(
     config: ILQRConfig = ILQRConfig(),
     plant_dynamics: Optional[Callable] = None,
     plant_params_batch=None,
+    chunk_size: Optional[int] = None,
+    log_budget_bytes: int = 2 << 30,
 ) -> GainDataset:
     """Closed-loop MPC sweeps that log every iLQR iteration as a training row.
 
@@ -115,6 +117,14 @@ def collect_gain_dataset(
     the plant over (initial state, params) together, so every trajectory runs
     against its own randomized physics while the solver keeps the nominal
     model — mismatch included in the data without leaving the device.
+
+    The sweep materializes per-iteration log buffers of
+    ``(B, sim_steps, max_iter, ...)`` on device — ~12 KB x sim_steps x
+    max_iter per trajectory at the quadrotor shape, which blows past HBM at
+    reference collection settings (max_iter=100). The batch is therefore
+    processed in chunks sized so the buffers stay under ``log_budget_bytes``
+    (one compile — every chunk shares the jitted sweep's shape); pass
+    ``chunk_size`` to override.
 
     Returns host arrays with invalid (post-convergence) iterations filtered.
     """
@@ -157,21 +167,47 @@ def collect_gain_dataset(
 
     if plant_params_batch is None:
         sweep_b = jax.jit(jax.vmap(lambda x0: sweep(x0, None)))
-        x_log, k_log, big_k_log, valid = sweep_b(x0_batch)
+        run_sweep = lambda lo, hi: sweep_b(x0_batch[lo:hi])
     else:
         sweep_b = jax.jit(jax.vmap(sweep))
-        x_log, k_log, big_k_log, valid = sweep_b(x0_batch, plant_params_batch)
+        run_sweep = lambda lo, hi: sweep_b(
+            x0_batch[lo:hi],
+            jax.tree_util.tree_map(lambda t: t[lo:hi], plant_params_batch),
+        )
 
-    # Flatten (B, sim_steps, max_iter, ...) -> rows, filter valid on host.
-    x_rows = np.asarray(x_log).reshape((-1,) + x_log.shape[3:])
-    k_rows = np.asarray(k_log).reshape((-1,) + k_log.shape[3:])
-    big_k_rows = np.asarray(big_k_log).reshape((-1,) + big_k_log.shape[3:])
-    mask = np.asarray(valid).reshape(-1)
+    batch = x0_batch.shape[0]
+    n = x0_batch.shape[-1]
+    if chunk_size is None:
+        itemsize = np.dtype(x0_batch.dtype).itemsize
+        bytes_per_traj = (
+            sim_steps
+            * config.max_iter
+            * ((horizon + 1) * n + horizon * control_dim * (1 + n) + 1)
+            * itemsize
+        )
+        chunk_size = max(1, min(batch, log_budget_bytes // max(bytes_per_traj, 1)))
+    # Equal-shaped chunks share one compile; a ragged tail would recompile.
+    while batch % chunk_size != 0:
+        chunk_size -= 1
 
-    kk = np.concatenate(
-        [k_rows[mask, :, :], big_k_rows[mask].reshape(mask.sum(), horizon, -1)], axis=-1
+    xs_out, kk_out = [], []
+    for lo in range(0, batch, chunk_size):
+        x_log, k_log, big_k_log, valid = run_sweep(lo, lo + chunk_size)
+        # Flatten (chunk, sim_steps, max_iter, ...) -> rows, filter on host.
+        x_rows = np.asarray(x_log).reshape((-1,) + x_log.shape[3:])
+        k_rows = np.asarray(k_log).reshape((-1,) + k_log.shape[3:])
+        big_k_rows = np.asarray(big_k_log).reshape((-1,) + big_k_log.shape[3:])
+        mask = np.asarray(valid).reshape(-1)
+        xs_out.append(x_rows[mask])
+        kk_out.append(
+            np.concatenate(
+                [k_rows[mask, :, :], big_k_rows[mask].reshape(mask.sum(), horizon, -1)],
+                axis=-1,
+            )
+        )
+    return GainDataset(
+        x_data=np.concatenate(xs_out), kk_data=np.concatenate(kk_out)
     )
-    return GainDataset(x_data=x_rows[mask], kk_data=kk)
 
 
 def collect_gain_dataset_host(

@@ -81,6 +81,28 @@ def test_collection_shapes_and_content(dataset):
     assert np.isfinite(dataset.x_data).all() and np.isfinite(dataset.kk_data).all()
 
 
+def test_chunked_collection_matches_full_batch(problem, dataset):
+    """chunk_size splits the sweep without changing the rows (memory-bounded
+    collection for reference max_iter=100 settings)."""
+    dyn, cost, fcost = problem
+    key = jax.random.PRNGKey(0)
+    x0s = jnp.concatenate(
+        [
+            0.3 * jax.random.normal(key, (6, 1)),
+            jnp.zeros((6, 1)),
+            0.3 * jax.random.normal(jax.random.PRNGKey(1), (6, 1)),
+            jnp.zeros((6, 1)),
+        ],
+        axis=1,
+    )
+    chunked = collect_gain_dataset(
+        dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=10,
+        config=ILQRConfig(tol=1e-1, max_iter=8), chunk_size=2,
+    )
+    np.testing.assert_allclose(chunked.x_data, dataset.x_data, rtol=0, atol=0)
+    np.testing.assert_allclose(chunked.kk_data, dataset.kk_data, rtol=0, atol=0)
+
+
 def test_randomized_plant_collection(problem):
     """Domain-randomized on-device collection: per-trajectory perturbed plant
     params change the closed-loop data (the on-device counterpart of the
