@@ -416,13 +416,25 @@ def ilqr_solve_with_logs(
 
 
 def pack_gain_tokens(k_seq: jnp.ndarray, big_k_seq: jnp.ndarray) -> jnp.ndarray:
-    """Gain token layout: ``[k (m) | K.flatten row-major (m*n)]`` per step.
+    """Gain token layout: INTERLEAVED per control channel —
+    ``[k_0, K[0, :], k_1, K[1, :], ...]`` (token dim m*(1+n); cart-pole
+    1*5=5, quadrotor 4*13=52).
 
-    Token dim = m*(1+n) (cart-pole 1*5=5, quadrotor 4*13=52); matches the
-    prompt packing at quattro_ilqr_tf.py:496-502 / transformer_ilqr.py:77-84.
+    This is the layout the reference TRAINS on
+    (transformer_ilqr.py:77-84: ``concat([k[..., None], K], -1).reshape``)
+    and unpacks predictions with (quattro_ilqr_tf.py:509-514: reshape
+    ``(T, m, 1+n)``, ``k = [:, :, 0]``). NOTE a real reference
+    inconsistency: its inference-time PROMPT is packed as
+    ``[k (m) | K.flat]`` instead (quattro_ilqr_tf.py:496-502) — for m > 1
+    that feeds the model prompts in a layout it never saw in training
+    (mild: the quadrotor prompt is 1 token and its shipped model tolerates
+    it). We do NOT replicate that quirk (SURVEY §7.8 policy): prompt,
+    training rows, and unpack all use this one training-consistent layout,
+    which for m = 1 is byte-identical to the reference's prompt too.
     """
-    steps, m = k_seq.shape
-    return jnp.concatenate([k_seq, big_k_seq.reshape(steps, -1)], axis=-1)
+    return jnp.concatenate([k_seq[:, :, None], big_k_seq], axis=-1).reshape(
+        k_seq.shape[0], -1
+    )
 
 
 def unpack_gain_tokens(tokens: jnp.ndarray, m: int, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

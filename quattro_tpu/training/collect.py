@@ -36,6 +36,17 @@ class GainDataset(NamedTuple):
     kk_data: np.ndarray  # (N, H, m*(1+n)) packed gain tokens
 
 
+def _pack_rows(k_rows: np.ndarray, big_k_rows: np.ndarray) -> np.ndarray:
+    """Numpy mirror of ``solver.ilqr.pack_gain_tokens`` for (rows, H, ...)
+    batches: the INTERLEAVED per-channel token layout the reference trains
+    on (transformer_ilqr.py:77-84) — ``[k_0, K[0, :], k_1, K[1, :], ...]``.
+    Training rows MUST share the solver's prompt/unpack layout or the
+    hybrid solve reads scrambled gains (fatal for m > 1)."""
+    rows, horizon, m = k_rows.shape
+    packed = np.concatenate([k_rows[..., None], big_k_rows], axis=-1)
+    return packed.reshape(rows, horizon, -1)
+
+
 def lhs_initial_states(
     key: jax.Array,
     lower: jnp.ndarray,
@@ -199,12 +210,7 @@ def collect_gain_dataset(
         big_k_rows = np.asarray(big_k_log).reshape((-1,) + big_k_log.shape[3:])
         mask = np.asarray(valid).reshape(-1)
         xs_out.append(x_rows[mask])
-        kk_out.append(
-            np.concatenate(
-                [k_rows[mask, :, :], big_k_rows[mask].reshape(mask.sum(), horizon, -1)],
-                axis=-1,
-            )
-        )
+        kk_out.append(_pack_rows(k_rows[mask], big_k_rows[mask]))
     return GainDataset(
         x_data=np.concatenate(xs_out), kk_data=np.concatenate(kk_out)
     )
@@ -270,12 +276,9 @@ def collect_gain_dataset_host(
                 if nv:
                     run_x.append(np.asarray(logs.x_seq)[valid])
                     run_kk.append(
-                        np.concatenate(
-                            [
-                                np.asarray(logs.k_seq)[valid],
-                                np.asarray(logs.big_k_seq)[valid].reshape(nv, horizon, -1),
-                            ],
-                            axis=-1,
+                        _pack_rows(
+                            np.asarray(logs.k_seq)[valid],
+                            np.asarray(logs.big_k_seq)[valid],
                         )
                     )
                 apply_fn(np.asarray(sol.u_seq[0]))

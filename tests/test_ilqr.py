@@ -280,6 +280,47 @@ def test_adaptive_regularization_recovers():
     assert float(adaptive.cost) <= float(fixed.cost) * (1 + 1e-9)
 
 
+def test_gain_token_pack_unpack_roundtrip_multi_input():
+    """pack/unpack must be exact inverses for m > 1 — the round-2 layout bug:
+    pack was [k (m) | K.flat] while unpack read the interleaved (m, 1+n)
+    layout, scrambling every predicted quadrotor gain (identical layouts for
+    m=1, which is why the cart-pole never caught it)."""
+    from quattro_tpu.solver.ilqr import pack_gain_tokens, unpack_gain_tokens
+
+    m, n, steps = 4, 12, 7
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(steps, m)))
+    big_k = jnp.asarray(rng.normal(size=(steps, m, n)))
+    tokens = pack_gain_tokens(k, big_k)
+    assert tokens.shape == (steps, m * (1 + n))
+    k2, big_k2 = unpack_gain_tokens(tokens, m, n)
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k))
+    np.testing.assert_array_equal(np.asarray(big_k2), np.asarray(big_k))
+    # Reference training layout (transformer_ilqr.py:77-84): interleaved
+    # per-channel [k_i, K[i, :]] chunks.
+    ref_tokens = np.concatenate(
+        [np.asarray(k)[:, :, None], np.asarray(big_k)], axis=-1
+    ).reshape(steps, -1)
+    np.testing.assert_array_equal(np.asarray(tokens), ref_tokens)
+
+
+def test_collection_rows_share_solver_token_layout():
+    """Training rows (training/collect.py::_pack_rows) and the solver's
+    prompt/unpack (pack_gain_tokens) must agree — a divergence trains the
+    model on one layout and queries it in another."""
+    from quattro_tpu.solver.ilqr import pack_gain_tokens
+    from quattro_tpu.training.collect import _pack_rows
+
+    rows, horizon, m, n = 3, 5, 4, 12
+    k = np.random.default_rng(0).normal(size=(rows, horizon, m)).astype(np.float32)
+    big_k = np.random.default_rng(1).normal(size=(rows, horizon, m, n)).astype(np.float32)
+    packed = _pack_rows(k, big_k)
+    for r in range(rows):
+        np.testing.assert_array_equal(
+            packed[r], np.asarray(pack_gain_tokens(jnp.asarray(k[r]), jnp.asarray(big_k[r])))
+        )
+
+
 def test_hybrid_exact_fallback_recovers_from_bad_predictor():
     """With a useless predictor the plain hybrid solve stalls far from the
     optimum; exact_fallback certifies convergence with exact iterations and
