@@ -145,6 +145,10 @@ def main() -> None:
                              "repo's broader envelope (cart-pole ignores this)")
     parser.add_argument("--sim-steps", type=int, default=100)
     parser.add_argument("--max-iter", type=int, default=8)
+    parser.add_argument("--compact-iters", type=int, default=None,
+                        help="on-device valid-row compaction cap (mean accepted "
+                             "iterations per MPC step) for --plant model/randomized; "
+                             "bounds the device->host transfer on tunnel rigs")
     parser.add_argument("--epochs", type=int, default=60)
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--learning-rate", type=float, default=1e-3)
@@ -256,12 +260,14 @@ def main() -> None:
         dataset = collect_gain_dataset(
             dyn, cost, fcost, x0s, horizon, m, args.sim_steps, config=solve_config,
             plant_dynamics=plant, plant_params_batch=theta_batch,
+            compact_iters=args.compact_iters,
         )
     else:
         print(f"collecting (model plant): {args.num_inits} inits x {args.sim_steps} "
               f"MPC steps x <= {args.max_iter} iLQR iters (horizon {horizon})", flush=True)
         dataset = collect_gain_dataset(
             dyn, cost, fcost, x0s, horizon, m, args.sim_steps, config=solve_config,
+            compact_iters=args.compact_iters,
         )
     print(f"collected {dataset.x_data.shape[0]} rows in {time.time() - t0:.1f}s", flush=True)
     if args.dataset_out and not args.dataset_in and not (

@@ -343,26 +343,46 @@ def ilqr_solve_with_logs(
     u_init: jnp.ndarray,
     config: ILQRConfig = ILQRConfig(),
 ) -> Tuple[ILQRSolution, ILQRLogs]:
-    """Pure iLQR via fixed-trip ``lax.scan``, emitting per-iteration logs.
+    """Pure iLQR via early-exit ``lax.while_loop``, emitting per-iteration logs.
 
     Used by the training-data pipeline (the reference generates training rows
-    from iteration logs — SURVEY.md §7.7). Iterations past convergence are
-    masked no-ops so the result matches ``ilqr_solve`` exactly.
+    from iteration logs — SURVEY.md §7.7). Log buffers are carried at a fixed
+    ``max_iter`` capacity and written at the iteration index; entries past
+    ``iterations`` keep their zero-init and ``valid=False``. Early exit
+    matters for collection throughput: fixed-trip scanning paid for all
+    ``max_iter`` iterations even though a warm-started receding-horizon step
+    converges in a handful (the reference collects with max_iter=100), and
+    under ``vmap`` the while form costs only the max over lanes.
     """
     x_init = simulate(dynamics, x0, u_init)
     cost_init = trajectory_cost(cost, final_cost, x_init, u_init)
+    horizon, m = u_init.shape
+    n = x0.shape[0]
+    dtype = x_init.dtype
+    mi = config.max_iter
 
-    def body(state, _):
-        x_seq, u_seq, current_cost, iteration, done, reg = state
+    logs_init = ILQRLogs(
+        x_seq=jnp.zeros((mi, horizon + 1, n), dtype),
+        u_seq=jnp.zeros((mi, horizon, m), dtype),
+        cost=jnp.zeros((mi,), dtype),
+        new_cost=jnp.zeros((mi,), dtype),
+        k_seq=jnp.zeros((mi, horizon, m), dtype),
+        big_k_seq=jnp.zeros((mi, horizon, m, n), dtype),
+        alpha=jnp.zeros((mi,), dtype),
+        found_update=jnp.zeros((mi,), bool),
+        valid=jnp.zeros((mi,), bool),
+    )
+
+    def cond(state):
+        _, _, _, iteration, done, _, _ = state
+        return jnp.logical_and(iteration < mi, jnp.logical_not(done))
+
+    def body(state):
+        x_seq, u_seq, current_cost, iteration, done, reg, logs = state
         found, alpha, new_x, new_u, new_cost, k_seq, big_k_seq = _ilqr_iteration(
             dynamics, cost, final_cost, config, x0, x_seq, u_seq, current_cost,
             reg=reg,
         )
-        active = jnp.logical_not(done)
-        sel = lambda new, old: jnp.where(active, new, old)
-        x_out = sel(new_x, x_seq)
-        u_out = sel(new_u, u_seq)
-        cost_out = jnp.where(active, new_cost, current_cost)
         small_improvement = jnp.abs(current_cost - new_cost) < config.tol
         if config.adaptive_reg:
             # Same LM mu-schedule as ilqr_solve's while body: a failed line
@@ -380,32 +400,29 @@ def ilqr_solve_with_logs(
         else:
             reg_next = reg
             now_done = jnp.logical_or(jnp.logical_not(found), small_improvement)
-        done_next = jnp.logical_or(done, now_done)
-        reg_out = jnp.where(active, reg_next, reg)
-        log = (
-            x_seq,
-            u_out,
-            current_cost,
-            cost_out,
-            k_seq,
-            big_k_seq,
-            jnp.where(active, alpha, 0.0),
-            jnp.logical_and(active, found),
-            active,
+        entry = ILQRLogs(
+            x_seq=x_seq, u_seq=new_u, cost=current_cost, new_cost=new_cost,
+            k_seq=k_seq, big_k_seq=big_k_seq, alpha=alpha, found_update=found,
+            valid=jnp.asarray(True),
+        )
+        logs_out = jax.tree_util.tree_map(
+            lambda buf, val: jax.lax.dynamic_update_index_in_dim(
+                buf, val.astype(buf.dtype), iteration, 0
+            ),
+            logs, entry,
         )
         return (
-            x_out, u_out, cost_out,
-            iteration + active.astype(iteration.dtype), done_next, reg_out,
-        ), log
+            new_x, new_u, new_cost, iteration + 1,
+            jnp.logical_or(done, now_done), reg_next, logs_out,
+        )
 
     init = (
         x_init, u_init, cost_init, jnp.asarray(0), jnp.asarray(False),
-        jnp.asarray(config.reg, dtype=x_init.dtype),
+        jnp.asarray(config.reg, dtype=dtype), logs_init,
     )
-    (x_seq, u_seq, cost_val, iterations, done, _), logs = jax.lax.scan(
-        body, init, None, length=config.max_iter
+    x_seq, u_seq, cost_val, iterations, done, _, log_tuple = jax.lax.while_loop(
+        cond, body, init
     )
-    log_tuple = ILQRLogs(*logs)
     # Final gains: last valid backward pass.
     last = jnp.maximum(iterations - 1, 0)
     solution = ILQRSolution(

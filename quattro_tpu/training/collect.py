@@ -112,6 +112,7 @@ def collect_gain_dataset(
     plant_params_batch=None,
     chunk_size: Optional[int] = None,
     log_budget_bytes: int = 2 << 30,
+    compact_iters: Optional[int] = None,
 ) -> GainDataset:
     """Closed-loop MPC sweeps that log every iLQR iteration as a training row.
 
@@ -136,6 +137,17 @@ def collect_gain_dataset(
     processed in chunks sized so the buffers stay under ``log_budget_bytes``
     (one compile — every chunk shares the jitted sweep's shape); pass
     ``chunk_size`` to override.
+
+    ``compact_iters``: compact rows ON DEVICE before the host fetch — the
+    per-chunk log buffers are flattened, valid rows stably sorted to the
+    front, gain tokens packed, and only ``chunk * sim_steps * compact_iters``
+    rows transferred. On a tunnel-attached TPU (~10 MB/s device->host on
+    this rig) the raw buffers are 90%+ invalid padding at max_iter=100, so
+    this is the difference between minutes and hours at reference collection
+    scale. Rows beyond the cap (a step needing more than ``compact_iters``
+    iterations on average) are dropped with a warning; set it at or above
+    the expected mean accepted-iteration count (warm-started receding steps
+    converge in <= ~8; cold starts take up to max_iter but are rare).
 
     Returns host arrays with invalid (post-convergence) iterations filtered.
     """
@@ -201,9 +213,41 @@ def collect_gain_dataset(
     while batch % chunk_size != 0:
         chunk_size -= 1
 
+    cap = None
+    if compact_iters is not None:
+        cap = chunk_size * sim_steps * compact_iters
+
+        @jax.jit
+        def compact(x_log, k_log, big_k_log, valid):
+            flat = lambda a: a.reshape((-1,) + a.shape[3:])
+            xf, kf, bf = flat(x_log), flat(k_log), flat(big_k_log)
+            vf = valid.reshape(-1)
+            kkf = jnp.concatenate([kf[..., None], bf], axis=-1).reshape(
+                kf.shape[0], kf.shape[1], -1
+            )
+            # Stable sort on ~valid: valid rows first, original order kept.
+            order = jnp.argsort(jnp.logical_not(vf))[:cap]
+            return xf[order], kkf[order], vf.sum()
+
     xs_out, kk_out = [], []
     for lo in range(0, batch, chunk_size):
-        x_log, k_log, big_k_log, valid = run_sweep(lo, lo + chunk_size)
+        swept = run_sweep(lo, lo + chunk_size)
+        if cap is not None:
+            x_c, kk_c, n_valid = compact(*swept)
+            take = int(n_valid)  # scalar fetch first ...
+            if take > cap:
+                print(
+                    f"collect_gain_dataset: chunk at {lo} produced {take} valid "
+                    f"rows > compact cap {cap}; dropping {take - cap}",
+                    flush=True,
+                )
+                take = cap
+            # ... then device-slice BEFORE the host fetch: only the valid
+            # rows cross the (slow) device->host link, not the cap padding.
+            xs_out.append(np.asarray(x_c[:take]))
+            kk_out.append(np.asarray(kk_c[:take]))
+            continue
+        x_log, k_log, big_k_log, valid = swept
         # Flatten (chunk, sim_steps, max_iter, ...) -> rows, filter on host.
         x_rows = np.asarray(x_log).reshape((-1,) + x_log.shape[3:])
         k_rows = np.asarray(k_log).reshape((-1,) + k_log.shape[3:])

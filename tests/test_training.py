@@ -103,6 +103,29 @@ def test_chunked_collection_matches_full_batch(problem, dataset):
     np.testing.assert_allclose(chunked.kk_data, dataset.kk_data, rtol=0, atol=0)
 
 
+def test_compacted_collection_matches_full_batch(problem, dataset):
+    """compact_iters gathers valid rows on device (transfer-bounded
+    collection for tunnel-attached TPUs); with a generous cap the rows must
+    equal the host-filtered path exactly."""
+    dyn, cost, fcost = problem
+    key = jax.random.PRNGKey(0)
+    x0s = jnp.concatenate(
+        [
+            0.3 * jax.random.normal(key, (6, 1)),
+            jnp.zeros((6, 1)),
+            0.3 * jax.random.normal(jax.random.PRNGKey(1), (6, 1)),
+            jnp.zeros((6, 1)),
+        ],
+        axis=1,
+    )
+    compacted = collect_gain_dataset(
+        dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=10,
+        config=ILQRConfig(tol=1e-1, max_iter=8), compact_iters=8,
+    )
+    np.testing.assert_allclose(compacted.x_data, dataset.x_data, rtol=0, atol=0)
+    np.testing.assert_allclose(compacted.kk_data, dataset.kk_data, rtol=0, atol=0)
+
+
 def test_randomized_plant_collection(problem):
     """Domain-randomized on-device collection: per-trajectory perturbed plant
     params change the closed-loop data (the on-device counterpart of the
