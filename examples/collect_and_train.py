@@ -260,14 +260,14 @@ def main() -> None:
         dataset = collect_gain_dataset(
             dyn, cost, fcost, x0s, horizon, m, args.sim_steps, config=solve_config,
             plant_dynamics=plant, plant_params_batch=theta_batch,
-            compact_iters=args.compact_iters,
+            compact_iters=args.compact_iters, verbose=True,
         )
     else:
         print(f"collecting (model plant): {args.num_inits} inits x {args.sim_steps} "
               f"MPC steps x <= {args.max_iter} iLQR iters (horizon {horizon})", flush=True)
         dataset = collect_gain_dataset(
             dyn, cost, fcost, x0s, horizon, m, args.sim_steps, config=solve_config,
-            compact_iters=args.compact_iters,
+            compact_iters=args.compact_iters, verbose=True,
         )
     print(f"collected {dataset.x_data.shape[0]} rows in {time.time() - t0:.1f}s", flush=True)
     if args.dataset_out and not args.dataset_in and not (

@@ -113,6 +113,7 @@ def collect_gain_dataset(
     chunk_size: Optional[int] = None,
     log_budget_bytes: int = 2 << 30,
     compact_iters: Optional[int] = None,
+    verbose: bool = False,
 ) -> GainDataset:
     """Closed-loop MPC sweeps that log every iLQR iteration as a training row.
 
@@ -231,6 +232,14 @@ def collect_gain_dataset(
 
     xs_out, kk_out = [], []
     for lo in range(0, batch, chunk_size):
+        if verbose:
+            import time as _time
+
+            print(
+                f"collect_gain_dataset: chunk {lo // chunk_size + 1}/"
+                f"{batch // chunk_size} (size {chunk_size}) @ {_time.time():.0f}",
+                flush=True,
+            )
         swept = run_sweep(lo, lo + chunk_size)
         if cap is not None:
             x_c, kk_c, n_valid = compact(*swept)
