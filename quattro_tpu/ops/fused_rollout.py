@@ -40,6 +40,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dynamics = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
@@ -85,13 +86,20 @@ def fused_feedback_rollouts(
         jax.ShapeDtypeStruct((m,), dtype),
     )
     const_shapes = [jnp.shape(c) for c in dyn_consts]
-    const_rows = [jnp.reshape(jnp.asarray(c), (1, -1)) for c in dyn_consts]
+    # Natural shape for matrix consts; (1, -1) rows only for 0/1-D (see
+    # ops/fused_solve.py — Mosaic rejects (1, r*c) -> (r, c) reshapes at
+    # compile time).
+    const_rows = [
+        jnp.asarray(c) if np.ndim(c) >= 2 else jnp.reshape(jnp.asarray(c), (1, -1))
+        for c in dyn_consts
+    ]
 
     def kernel(x0_r, xref_r, uref_r, k_r, bigkt_r, alpha_r, *refs):
         const_refs = refs[: len(dyn_consts)]
         x_out, u_out = refs[len(dyn_consts) :]
         const_vals = [
-            jnp.reshape(r[...], shp) for r, shp in zip(const_refs, const_shapes)
+            r[...] if r.shape == shp else jnp.reshape(r[...], shp)
+            for r, shp in zip(const_refs, const_shapes)
         ]
         step_fn = jax.vmap(jax.vmap(lambda x, u: dyn_conv(x, u, *const_vals)))
 
@@ -150,12 +158,20 @@ def fused_feedback_rollouts_batched(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All-alpha closed-loop rollouts for a TRAJECTORY BATCH in one kernel.
 
-    The batched-regime counterpart of ``fused_feedback_rollouts``: after the
-    fused backward pass (ops/fused_riccati.py) removed the Riccati scan's
-    per-step XLA overhead, the vmapped line-search rollout became the batched
-    iteration's sequential bottleneck — the same ~tens-of-us-per-step while
-    loop pathology. Same medicine: the whole rollout runs inside one Pallas
-    ``fori_loop`` with the state carry VMEM-resident.
+    The batched-regime counterpart of ``fused_feedback_rollouts``: the whole
+    rollout runs inside one Pallas ``fori_loop`` with the state carry
+    VMEM-resident.
+
+    MEASURED NEGATIVE RESULT (v5e, benchmarks/batched_phases_tpu.json): this
+    kernel LOSES to the vmapped XLA scan at wide batches — 13.0 vs 4.2 ms at
+    B=512 x H=50, 48.9 vs 9.3 ms at B=64 x H=1024. At those widths XLA
+    amortizes its per-step loop overhead across one (B*A, n) tensor op per
+    step, while this kernel's (A, tile_b) tiles leave sublanes idle and
+    serialize batch tiles; the single-trajectory overhead-bound regime where
+    ``fused_feedback_rollouts`` wins does not transfer. Kept available (and
+    exact — equality tests in tests/test_fused_rollout.py) via
+    ``ILQRConfig(linesearch="fused")`` under ``batched_ilqr_solve``; the
+    dispatch default remains the XLA scan.
 
     Layout (mirrors the fused backward kernel): trajectory batch on the LANE
     axis (tile_b lanes per grid step), alphas on sublanes — the plant is
@@ -217,7 +233,13 @@ def fused_feedback_rollouts_batched(
         jax.ShapeDtypeStruct((m,), dtype),
     )
     const_shapes = [jnp.shape(c) for c in dyn_consts]
-    const_rows = [jnp.reshape(jnp.asarray(c), (1, -1)) for c in dyn_consts]
+    # Natural shape for matrix consts; (1, -1) rows only for 0/1-D (see
+    # ops/fused_solve.py — Mosaic rejects (1, r*c) -> (r, c) reshapes at
+    # compile time).
+    const_rows = [
+        jnp.asarray(c) if np.ndim(c) >= 2 else jnp.reshape(jnp.asarray(c), (1, -1))
+        for c in dyn_consts
+    ]
     n_grid_h = h_pad // block_t
     n_grid_b = b_pad // tile_b
 
@@ -228,7 +250,8 @@ def fused_feedback_rollouts_batched(
         x_out, u_out = refs[len(dyn_consts) : len(dyn_consts) + 2]
         x_s = refs[-1]  # scratch (n, A, tile_b)
         const_vals = [
-            jnp.reshape(r[...], shp) for r, shp in zip(const_refs, const_shapes)
+            r[...] if r.shape == shp else jnp.reshape(r[...], shp)
+            for r, shp in zip(const_refs, const_shapes)
         ]
         # Components-first double vmap: x (n, A, B) -> intermediates (A, B).
         step_fn = jax.vmap(

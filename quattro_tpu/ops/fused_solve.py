@@ -36,6 +36,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from quattro_tpu.ops.fused_riccati import make_tile_dot, riccati_step_tiles
 
@@ -96,7 +97,7 @@ def fused_ilqr_solve_kernel(
     # Hoist them by tracing each callable to a jaxpr and promoting its
     # constvars to arguments (jax.closure_convert only hoists *tracer*
     # constants, not concrete closed-over arrays); they enter the kernel as
-    # ordinary VMEM inputs (flattened to (1, size) rows, original dtypes)
+    # ordinary VMEM inputs (natural shape if >= 2-D, else (1, size) rows)
     # and are re-materialized inside.
     x_ex = jax.ShapeDtypeStruct((n,), dtype)
     u_ex = jax.ShapeDtypeStruct((m,), dtype)
@@ -105,7 +106,16 @@ def fused_ilqr_solve_kernel(
     fcost_conv, fcost_consts = _hoist_array_constants(final_cost, x_ex)
     all_consts = [*dyn_consts, *cost_consts, *fcost_consts]
     const_shapes = [jnp.shape(c) for c in all_consts]
-    const_rows = [jnp.reshape(jnp.asarray(c), (1, -1)) for c in all_consts]
+    # Matrix-shaped consts (ndim >= 2, e.g. a closed-over diag(Q)) enter the
+    # kernel in their NATURAL shape: re-materializing them from a flat row
+    # needs a (1, r*c) -> (r, c) tpu.reshape that Mosaic's layout inference
+    # rejects at compile time (measured on v5e; the lowering check alone
+    # does not catch it). Only 0/1-D consts get the (1, -1) row treatment
+    # Mosaic's >= 2-D input rule requires.
+    const_rows = [
+        jnp.asarray(c) if np.ndim(c) >= 2 else jnp.reshape(jnp.asarray(c), (1, -1))
+        for c in all_consts
+    ]
     n_dyn, n_cost = len(dyn_consts), len(cost_consts)
 
     def kernel_body_fns(const_vals):
@@ -148,7 +158,8 @@ def fused_ilqr_solve_kernel(
         const_refs = refs[: len(all_consts)]
         refs = refs[len(all_consts) :]
         const_vals = [
-            jnp.reshape(r[...], shp) for r, shp in zip(const_refs, const_shapes)
+            r[...] if r.shape == shp else jnp.reshape(r[...], shp)
+            for r, shp in zip(const_refs, const_shapes)
         ]
         lin2, expand2, fgrad2, fhess2, dyn2, cost2, fcost2 = kernel_body_fns(
             const_vals
