@@ -124,7 +124,13 @@ def main():
         print("(non-TPU backend: skipping ilqr_fused / ilqr_megakernel rows)",
               flush=True)
     for mode in modes:
-        host_in_loop, device = measure(build(mode))
+        try:
+            host_in_loop, device = measure(build(mode))
+        except Exception as e:  # record the failure, keep the other rows
+            msg = str(e).splitlines()[-1][:300]
+            results[mode] = {"error": f"{type(e).__name__}: {msg}"}
+            print(f"{mode}: FAILED — {type(e).__name__}: {msg}", flush=True)
+            continue
         results[mode] = {
             "host_in_loop_ms_per_step": host_in_loop * 1e3,
             "device_ms_per_step": device * 1e3,
