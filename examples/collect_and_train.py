@@ -149,6 +149,12 @@ def main() -> None:
                         help="on-device valid-row compaction cap (mean accepted "
                              "iterations per MPC step) for --plant model/randomized; "
                              "bounds the device->host transfer on tunnel rigs")
+    parser.add_argument("--device-resident", action="store_true",
+                        help="keep the dataset in HBM end to end (collection rows "
+                             "never cross the device->host link; training uses the "
+                             "scanned-epoch path — one dispatch per epoch). Implies "
+                             "--compact-iters (default 3); incompatible with "
+                             "--plant mujoco and --dataset-out")
     parser.add_argument("--epochs", type=int, default=60)
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--learning-rate", type=float, default=1e-3)
@@ -168,6 +174,16 @@ def main() -> None:
     parser.add_argument("--dataset-in", default=None, nargs="+",
                         help="skip collection; train from saved dataset file(s)")
     args = parser.parse_args()
+
+    if args.device_resident:
+        if args.plant == "mujoco":
+            raise SystemExit("--device-resident requires an on-device plant "
+                             "(--plant model/randomized); the mujoco plant is a host loop")
+        if args.dataset_out:
+            raise SystemExit("--device-resident keeps rows in HBM; --dataset-out "
+                             "would force the full transfer this mode exists to avoid")
+        if args.compact_iters is None:
+            args.compact_iters = 3
 
     import jax
     import jax.numpy as jnp
@@ -260,14 +276,16 @@ def main() -> None:
         dataset = collect_gain_dataset(
             dyn, cost, fcost, x0s, horizon, m, args.sim_steps, config=solve_config,
             plant_dynamics=plant, plant_params_batch=theta_batch,
-            compact_iters=args.compact_iters, verbose=True,
+            compact_iters=args.compact_iters,
+            device_resident=args.device_resident, verbose=True,
         )
     else:
         print(f"collecting (model plant): {args.num_inits} inits x {args.sim_steps} "
               f"MPC steps x <= {args.max_iter} iLQR iters (horizon {horizon})", flush=True)
         dataset = collect_gain_dataset(
             dyn, cost, fcost, x0s, horizon, m, args.sim_steps, config=solve_config,
-            compact_iters=args.compact_iters, verbose=True,
+            compact_iters=args.compact_iters,
+            device_resident=args.device_resident, verbose=True,
         )
     print(f"collected {dataset.x_data.shape[0]} rows in {time.time() - t0:.1f}s", flush=True)
     if args.dataset_out and not args.dataset_in and not (
@@ -277,11 +295,14 @@ def main() -> None:
         save_gain_dataset(args.dataset_out, dataset)
 
     # 80/20 split, shuffled with a fixed seed (transformer_training.py:45-56).
-    rng = np.random.default_rng(42)
-    perm = rng.permutation(dataset.x_data.shape[0])
-    split = int(len(perm) * 0.8)
-    train = GainDataset(dataset.x_data[perm[:split]], dataset.kk_data[perm[:split]])
-    test = GainDataset(dataset.x_data[perm[split:]], dataset.kk_data[perm[split:]])
+    if args.device_resident:
+        train, test = dataset.split(0.8, seed=42)
+    else:
+        rng = np.random.default_rng(42)
+        perm = rng.permutation(dataset.x_data.shape[0])
+        split = int(len(perm) * 0.8)
+        train = GainDataset(dataset.x_data[perm[:split]], dataset.kk_data[perm[:split]])
+        test = GainDataset(dataset.x_data[perm[split:]], dataset.kk_data[perm[split:]])
 
     predictor = GainPredictor.create(
         state_dim=n,

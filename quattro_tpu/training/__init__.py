@@ -7,6 +7,7 @@ become stacked arrays, and the PyTorch loop becomes optax + jit.
 
 from quattro_tpu.training.collect import (
     collect_gain_dataset,
+    DeviceGainDataset,
     collect_gain_dataset_host,
     GainDataset,
     ShardDataset,
@@ -20,6 +21,7 @@ from quattro_tpu.training.train import TrainConfig, train_gain_predictor
 __all__ = [
     "collect_gain_dataset",
     "collect_gain_dataset_host",
+    "DeviceGainDataset",
     "GainDataset",
     "ShardDataset",
     "lhs_initial_states",

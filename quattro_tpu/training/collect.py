@@ -36,6 +36,49 @@ class GainDataset(NamedTuple):
     kk_data: np.ndarray  # (N, H, m*(1+n)) packed gain tokens
 
 
+class DeviceGainDataset:
+    """Training rows held as device (HBM-resident) arrays.
+
+    On a tunnel-attached TPU the device->host link (~10 MB/s on this rig) is
+    the collection bottleneck, not the chip: reference-scale quadrotor data
+    (~600k rows x ~13 KB/row) is hours of transfer but minutes of compute.
+    This container keeps the rows on the accelerator end to end — collection
+    (``collect_gain_dataset(device_resident=True)``) appends compacted
+    device slices, the trainer's scanned-epoch path gathers minibatches from
+    HBM, and only the final ~2.5 MB checkpoint ever crosses the link.
+
+    The reference has no counterpart (its pipeline pickles rows to disk
+    between collection and training, training_data_collection.py:197-202);
+    this is the TPU-native fusion of the two stages.
+    """
+
+    def __init__(self, x_data: jnp.ndarray, kk_data: jnp.ndarray):
+        if x_data.shape[0] != kk_data.shape[0]:
+            raise ValueError(
+                f"row mismatch: x_data {x_data.shape[0]} vs kk_data {kk_data.shape[0]}"
+            )
+        self.x_data = x_data
+        self.kk_data = kk_data
+
+    def __len__(self) -> int:
+        return int(self.x_data.shape[0])
+
+    def split(self, train_frac: float = 0.8, seed: int = 42):
+        """On-device shuffled train/test split (transformer_training.py:45-56
+        semantics: fixed seed, 80/20 by default)."""
+        perm = jax.random.permutation(jax.random.PRNGKey(seed), len(self))
+        cut = int(len(self) * train_frac)
+        tr, te = perm[:cut], perm[cut:]
+        return (
+            DeviceGainDataset(self.x_data[tr], self.kk_data[tr]),
+            DeviceGainDataset(self.x_data[te], self.kk_data[te]),
+        )
+
+    def to_host(self) -> GainDataset:
+        """Materialize on host (forces the full transfer — archival only)."""
+        return GainDataset(np.asarray(self.x_data), np.asarray(self.kk_data))
+
+
 def _pack_rows(k_rows: np.ndarray, big_k_rows: np.ndarray) -> np.ndarray:
     """Numpy mirror of ``solver.ilqr.pack_gain_tokens`` for (rows, H, ...)
     batches: the INTERLEAVED per-channel token layout the reference trains
@@ -113,6 +156,7 @@ def collect_gain_dataset(
     chunk_size: Optional[int] = None,
     log_budget_bytes: int = 2 << 30,
     compact_iters: Optional[int] = None,
+    device_resident: bool = False,
     verbose: bool = False,
 ) -> GainDataset:
     """Closed-loop MPC sweeps that log every iLQR iteration as a training row.
@@ -150,8 +194,16 @@ def collect_gain_dataset(
     the expected mean accepted-iteration count (warm-started receding steps
     converge in <= ~8; cold starts take up to max_iter but are rare).
 
+    ``device_resident``: never fetch the rows — return a
+    :class:`DeviceGainDataset` of HBM-held arrays for the trainer's
+    scanned-epoch path (requires ``compact_iters``, since the row filter is
+    otherwise host-side). This removes the device->host link from the
+    collection critical path entirely.
+
     Returns host arrays with invalid (post-convergence) iterations filtered.
     """
+    if device_resident and compact_iters is None:
+        raise ValueError("device_resident=True requires compact_iters")
     if plant_dynamics is None:
         if plant_params_batch is not None:
             raise ValueError(
@@ -253,8 +305,12 @@ def collect_gain_dataset(
                 take = cap
             # ... then device-slice BEFORE the host fetch: only the valid
             # rows cross the (slow) device->host link, not the cap padding.
-            xs_out.append(np.asarray(x_c[:take]))
-            kk_out.append(np.asarray(kk_c[:take]))
+            if device_resident:
+                xs_out.append(x_c[:take])
+                kk_out.append(kk_c[:take])
+            else:
+                xs_out.append(np.asarray(x_c[:take]))
+                kk_out.append(np.asarray(kk_c[:take]))
             continue
         x_log, k_log, big_k_log, valid = swept
         # Flatten (chunk, sim_steps, max_iter, ...) -> rows, filter on host.
@@ -264,6 +320,8 @@ def collect_gain_dataset(
         mask = np.asarray(valid).reshape(-1)
         xs_out.append(x_rows[mask])
         kk_out.append(_pack_rows(k_rows[mask], big_k_rows[mask]))
+    if device_resident:
+        return DeviceGainDataset(jnp.concatenate(xs_out), jnp.concatenate(kk_out))
     return GainDataset(
         x_data=np.concatenate(xs_out), kk_data=np.concatenate(kk_out)
     )

@@ -30,7 +30,7 @@ import optax
 
 from quattro_tpu.models.gain_predictor import GainPredictor
 from quattro_tpu.models.normalizer import DataNormalizer
-from quattro_tpu.training.collect import GainDataset
+from quattro_tpu.training.collect import DeviceGainDataset, GainDataset
 
 
 class TrainConfig(NamedTuple):
@@ -80,6 +80,15 @@ def train_gain_predictor(
     ``ShardDataset``. ``mesh``: optional device mesh for data-parallel
     training (batch sharded over the first mesh axis, params replicated).
     """
+    if isinstance(train_data, DeviceGainDataset):
+        if mesh is not None:
+            raise ValueError(
+                "mesh= data parallelism is not wired into the device-resident "
+                "scanned-epoch path; pass a GainDataset/ShardDataset for dp "
+                "training, or mesh=None here"
+            )
+        return _train_device_resident(predictor, train_data, test_data, config)
+
     prompt_len = predictor.prompt_len
     stride = getattr(predictor, "state_stride", 1)
     streamed = not isinstance(train_data, GainDataset)
@@ -238,6 +247,151 @@ def train_gain_predictor(
                 break
     else:
         if test_data is not None:
+            params = best_params
+
+    if manager is not None:
+        manager.wait_until_finished()
+
+    trained = GainPredictor(
+        module=module, params=params, normalizer=normalizer, state_stride=stride
+    )
+    return TrainResult(trained, np.asarray(train_hist), np.asarray(test_hist))
+
+
+def _train_device_resident(
+    predictor: GainPredictor,
+    train_data: DeviceGainDataset,
+    test_data: Optional[DeviceGainDataset],
+    config: TrainConfig,
+) -> TrainResult:
+    """Scanned-epoch trainer over an HBM-resident dataset.
+
+    Dispatch-latency design for tunnel-attached TPUs: the whole epoch —
+    on-device permutation, minibatch gathers, normalization, and every
+    optimizer step — is ONE ``lax.scan`` inside ONE jitted call, so the host
+    round-trip cost is one dispatch + one scalar (mean loss) fetch per
+    epoch instead of per step. Rows are normalized per minibatch inside the
+    scan, so the raw dataset is the only full-size array in HBM (no second
+    normalized copy, unlike the in-memory path's ``_prepare``).
+
+    Semantics match ``train_gain_predictor``'s in-memory path (z-score stats
+    from the training split, time-reversed prompt/target split, Adam + MSE,
+    early stopping on test loss with best-params restore); only the batch
+    permutation RNG stream differs (per-epoch fold-in vs sequential splits).
+    """
+    prompt_len = predictor.prompt_len
+    stride = getattr(predictor, "state_stride", 1)
+    x_raw, kk_raw = train_data.x_data, train_data.kk_data
+    normalizer = DataNormalizer.fit(x_raw, kk_raw)
+    normalizer = DataNormalizer(
+        *(jnp.asarray(a, jnp.float32) for a in normalizer)
+    )
+    num_rows = int(x_raw.shape[0])
+    batch = min(config.batch_size, num_rows)
+    steps_per_epoch = max(num_rows // batch, 1)
+
+    module = predictor.module
+    params = predictor.params
+    tx = optax.adam(config.learning_rate)
+    opt_state = tx.init(params)
+
+    def norm_batch(xsrc, kksrc, ib):
+        xb = normalizer.transform_x(jnp.asarray(xsrc[ib][:, ::stride], jnp.float32))
+        kk = normalizer.transform_u(jnp.asarray(kksrc[ib], jnp.float32))
+        return xb, kk[:, -prompt_len:, :], kk[:, : kk.shape[1] - prompt_len, :]
+
+    def loss_fn(p, xb, pb, tb, dropout_key):
+        pred = module.apply(
+            {"params": p}, xb, pb, deterministic=False, rngs={"dropout": dropout_key}
+        )
+        return jnp.mean((pred - tb) ** 2)
+
+    @jax.jit
+    def run_epoch(p, opt_s, key):
+        perm_key, scan_key = jax.random.split(key)
+        idx = jax.random.permutation(perm_key, num_rows)
+        idx = idx[: steps_per_epoch * batch].reshape(steps_per_epoch, batch)
+
+        def step(carry, ib):
+            p, s, k = carry
+            k, dk = jax.random.split(k)
+            xb, pb, tb = norm_batch(x_raw, kk_raw, ib)
+            loss, grads = jax.value_and_grad(loss_fn)(p, xb, pb, tb, dk)
+            updates, s = tx.update(grads, s)
+            return (optax.apply_updates(p, updates), s, k), loss
+
+        (p, opt_s, _), losses = jax.lax.scan(step, (p, opt_s, scan_key), idx)
+        return p, opt_s, losses.mean()
+
+    full_test_loss = None
+    if test_data is not None:
+        xt, kt = test_data.x_data, test_data.kk_data
+        n_test = int(xt.shape[0])
+        chunk = min(4096, n_test)
+        # Equal-size chunks scan in one dispatch; a sub-chunk tail would be a
+        # second compile, so it is dropped — early stopping only needs a
+        # CONSISTENT metric, and at most chunk-1 of n_test rows are unused.
+        n_eval = max((n_test // chunk) * chunk, 0)
+        eval_idx = jnp.arange(n_eval).reshape(-1, chunk)
+
+        @jax.jit
+        def _test_loss(p):
+            def body(_, ib):
+                xb, pb, tb = norm_batch(xt, kt, ib)
+                pred = module.apply({"params": p}, xb, pb, deterministic=True)
+                return None, jnp.mean((pred - tb) ** 2)
+
+            _, losses = jax.lax.scan(body, None, eval_idx)
+            return losses.mean()
+
+        def full_test_loss(p):
+            return float(_test_loss(p))
+
+    rng = jax.random.PRNGKey(config.seed)
+    best_loss = float("inf")
+    best_params = params
+    no_improvement = 0
+    train_hist, test_hist = [], []
+    start_epoch = 0
+
+    manager = None
+    if config.checkpoint_dir is not None:
+        manager = _checkpoint_manager(config.checkpoint_dir)
+        latest = manager.latest_step()
+        if latest is not None:
+            restored = manager.restore(
+                latest,
+                args=_ocp_args().StandardRestore({"params": params, "opt_state": opt_state}),
+            )
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            start_epoch = latest
+
+    for epoch in range(start_epoch, config.num_epochs):
+        epoch_key = jax.random.fold_in(rng, epoch)
+        params, opt_state, mean_loss = run_epoch(params, opt_state, epoch_key)
+        train_hist.append(float(mean_loss))
+
+        if manager is not None and (epoch + 1) % config.checkpoint_every == 0:
+            manager.save(
+                epoch + 1,
+                args=_ocp_args().StandardSave({"params": params, "opt_state": opt_state}),
+            )
+
+        if full_test_loss is not None:
+            test_loss = full_test_loss(params)
+            test_hist.append(test_loss)
+            if test_loss < best_loss:
+                best_loss = test_loss
+                best_params = params
+                no_improvement = 0
+            else:
+                no_improvement += 1
+            if no_improvement >= config.patience:
+                params = best_params
+                break
+    else:
+        if full_test_loss is not None:
             params = best_params
 
     if manager is not None:

@@ -399,3 +399,74 @@ def test_state_stride_roundtrip_and_training(dataset, tmp_path):
         np.zeros((HORIZON + 1, 4), np.float32), np.zeros((HORIZON, 5), np.float32)
     )
     np.testing.assert_allclose(out2, out, rtol=1e-6)
+
+
+def test_device_resident_collection_and_scanned_training(problem, dataset):
+    """HBM-resident pipeline (tunnel-attached TPU path): collection returns
+    device arrays identical to the host-compacted rows, and the scanned-epoch
+    trainer (one dispatch per epoch) learns on them."""
+    from quattro_tpu.training import DeviceGainDataset
+
+    dyn, cost, fcost = problem
+    key = jax.random.PRNGKey(0)
+    x0s = jnp.concatenate(
+        [
+            0.3 * jax.random.normal(key, (6, 1)),
+            jnp.zeros((6, 1)),
+            0.3 * jax.random.normal(jax.random.PRNGKey(1), (6, 1)),
+            jnp.zeros((6, 1)),
+        ],
+        axis=1,
+    )
+    dev = collect_gain_dataset(
+        dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=10,
+        config=ILQRConfig(tol=1e-1, max_iter=8), compact_iters=8,
+        device_resident=True,
+    )
+    assert isinstance(dev, DeviceGainDataset)
+    assert isinstance(dev.x_data, jax.Array)
+    # Same rows as the host path (module `dataset` fixture), bit-exact.
+    np.testing.assert_array_equal(np.asarray(dev.x_data), dataset.x_data)
+    np.testing.assert_array_equal(np.asarray(dev.kk_data), dataset.kk_data)
+
+    # device_resident requires the on-device compaction.
+    with pytest.raises(ValueError):
+        collect_gain_dataset(
+            dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=10,
+            config=ILQRConfig(tol=1e-1, max_iter=8), device_resident=True,
+        )
+
+    train, test = dev.split(0.8, seed=42)
+    assert len(train) + len(test) == len(dev)
+    predictor = GainPredictor.create(
+        state_dim=4, control_dim=5, prompt_len=PROMPT, target_len=HORIZON - PROMPT,
+        d_model=32, nhead=4, num_decoder_layers=1, dim_feedforward=64,
+        max_seq_len=64, seq_len_states=HORIZON + 1,
+    )
+    result = train_gain_predictor(
+        predictor, train, test,
+        TrainConfig(num_epochs=12, batch_size=16, learning_rate=1e-3),
+    )
+    assert result.train_loss_history[-1] < result.train_loss_history[0] * 0.8, (
+        "scanned-epoch training loss did not decrease",
+        result.train_loss_history,
+    )
+    assert len(result.test_loss_history) > 0
+
+    # The trained predictor drives a hybrid solve to a finite cost.
+    sol = hybrid_ilqr_solve(
+        dyn, cost, fcost, result.predictor.predict_fn(), PROMPT,
+        jnp.array([0.1, 0.0, 0.15, 0.0]), jnp.zeros((HORIZON, 1)), jnp.zeros(4),
+        ILQRConfig(tol=1e-1, max_iter=15),
+    )
+    assert np.isfinite(float(sol.cost))
+
+    # mesh= is the dp path's knob; the device-resident path must refuse it.
+    from quattro_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError):
+        train_gain_predictor(
+            predictor, train, test,
+            TrainConfig(num_epochs=1, batch_size=16),
+            mesh=make_mesh((2, 1)),
+        )
