@@ -168,6 +168,19 @@ def main() -> None:
     parser.add_argument("--tol", type=float, default=None)
     parser.add_argument("--state-stride", type=int, default=1,
                         help="subsample the state context by this stride (long horizons)")
+    parser.add_argument("--quad-params", default="measured",
+                        choices=["measured", "nominal"],
+                        help="quadrotor physical parameters for the solver model and "
+                             "the randomization center in --plant model/randomized. "
+                             "'measured' (default) reads mass/inertia/arm from the "
+                             "compiled MuJoCo plant (quadrotor_wrapper.py:76-83 "
+                             "semantics) — the reference ALWAYS parameter-matches its "
+                             "solver this way, and the closed-loop eval/sim harnesses "
+                             "do too, so collecting gains for the 'nominal' textbook "
+                             "vehicle (mass 1.0, arm 0.1 vs measured 1.325, 0.228) "
+                             "trains the predictor on a different aircraft than the "
+                             "one it is deployed on. Falls back to nominal (loudly) "
+                             "if MuJoCo is unavailable")
     parser.add_argument("--out", required=True, help="output GainPredictor npz path")
     parser.add_argument("--dataset-out", default=None,
                         help="optional dataset dump: .qtshard (native validated shards) or .npz")
@@ -218,6 +231,32 @@ def main() -> None:
         tol = args.tol
 
     dyn, cost, fcost, n, m = setup(horizon)
+
+    # Parameter-match the quadrotor solver model (and the randomization
+    # center) to the compiled MuJoCo plant. The reference never uses the
+    # textbook vehicle: QuadrotorWrapper builds the solver dynamics from the
+    # measured mass/inertia/arm (quadrotor_wrapper.py:76-83), and so do this
+    # repo's sim/eval harnesses — training gains for the nominal vehicle
+    # would put the predictor out of distribution at deployment.
+    quad_center = None
+    if args.system == "quadrotor" and args.plant in ("model", "randomized"):
+        if args.quad_params == "measured":
+            try:
+                from quattro_tpu.sim import QuadrotorBridge
+
+                quad_center = QuadrotorBridge().solver_params()
+            except Exception as exc:  # pragma: no cover - mujoco-less hosts
+                print(f"WARNING: --quad-params measured unavailable ({exc}); "
+                      f"falling back to nominal", flush=True)
+        if quad_center is not None:
+            from quattro_tpu.systems import make_discrete, quadrotor_dynamics
+
+            dyn = make_discrete(
+                lambda x, u: quadrotor_dynamics(x, u, quad_center), 0.01, "rk4"
+            )
+            print(f"solver model parameter-matched to MuJoCo: {quad_center}",
+                  flush=True)
+
     key = jax.random.PRNGKey(0)
     x0s = initial_states(args.system, args.num_inits, key, envelope=args.envelope)
 
@@ -262,7 +301,10 @@ def main() -> None:
         from quattro_tpu.training import perturb_params
 
         cont = cartpole_dynamics if args.system == "cartpole" else quadrotor_dynamics
-        nominal = CartPoleParams() if args.system == "cartpole" else QuadrotorParams()
+        if args.system == "cartpole":
+            nominal = CartPoleParams()
+        else:
+            nominal = quad_center if quad_center is not None else QuadrotorParams()
 
         def plant(x, u, theta):
             return rk4_step(lambda xx, uu: cont(xx, uu, theta), x, u, 0.01)
