@@ -94,3 +94,41 @@ def test_fused_solve_rejects_adaptive_reg():
     dyn, cost, fcost, x0, u0 = _cartpole_problem()
     with pytest.raises(ValueError, match="adaptive"):
         ilqr_solve_fused(dyn, cost, fcost, x0, u0, ILQRConfig(adaptive_reg=True))
+
+
+def test_fused_solve_lin_block_invariance():
+    """The blocked linearize phase (lin_block trips of the jacfwd/hessian
+    trace — the VMEM fix for production horizons, see fused_solve.py) is
+    bit-equivalent to the single-shot whole-horizon trace: per-point
+    derivatives do not depend on the blocking."""
+    from quattro_tpu.ops.fused_solve import fused_ilqr_solve_kernel
+    from quattro_tpu.solver.rollout import simulate, trajectory_cost
+
+    dyn, cost, fcost, x0, u0 = _quadrotor_problem(horizon=20)
+    x_init = simulate(dyn, x0, u0)
+    cost_init = trajectory_cost(cost, fcost, x_init, u0)
+    run = lambda blk: fused_ilqr_solve_kernel(
+        dyn, cost, fcost, x_init, u0, cost_init,
+        max_iter=4, tol=1e-3, reg=1e-6, alphas=(1.0, 0.5, 0.25, 0.1, 0.05, 0.01),
+        interpret=True, lin_block=blk,
+    )
+    single = run(20)  # whole-horizon single-shot trace
+    for blk in (4, 10):
+        blocked = run(blk)
+        for a, b in zip(blocked, single):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_solve_lin_block_must_divide_horizon():
+    from quattro_tpu.ops.fused_solve import fused_ilqr_solve_kernel
+    from quattro_tpu.solver.rollout import simulate, trajectory_cost
+
+    dyn, cost, fcost, x0, u0 = _cartpole_problem()
+    x_init = simulate(dyn, x0, u0)
+    cost_init = trajectory_cost(cost, fcost, x_init, u0)
+    with pytest.raises(ValueError, match="lin_block"):
+        fused_ilqr_solve_kernel(
+            dyn, cost, fcost, x_init, u0, cost_init,
+            max_iter=1, tol=1e-3, reg=1e-6, alphas=(1.0,),
+            interpret=True, lin_block=7,
+        )
