@@ -50,6 +50,14 @@ class DeviceGainDataset:
     The reference has no counterpart (its pipeline pickles rows to disk
     between collection and training, training_data_collection.py:197-202);
     this is the TPU-native fusion of the two stages.
+
+    Storage layout: rows are held FLATTENED to 2-D — ``x_flat (N, (H+1)*n)``,
+    ``kk_flat (N, H*d)``. TPU HBM tiles arrays as T(8,128) over the two
+    minor dims, so the natural 3-D row shapes pad catastrophically at the
+    quadrotor shape (last dims 12 and 52 each pad to 128: 2.8-10x HBM
+    expansion — a 3 GB dataset OOMs a 16 GB chip). Flat rows pad <= 5%;
+    the trainer reshapes each gathered minibatch back to 3-D inside the
+    scan, where the padded footprint is a few MB.
     """
 
     def __init__(self, x_data: jnp.ndarray, kk_data: jnp.ndarray):
@@ -57,26 +65,65 @@ class DeviceGainDataset:
             raise ValueError(
                 f"row mismatch: x_data {x_data.shape[0]} vs kk_data {kk_data.shape[0]}"
             )
-        self.x_data = x_data
-        self.kk_data = kk_data
+        if x_data.ndim != 3 or kk_data.ndim != 3:
+            raise ValueError(
+                "DeviceGainDataset(x_data, kk_data) takes (N, T, dim) rows; "
+                "use from_flat() for pre-flattened storage"
+            )
+        self.x_row_shape = x_data.shape[1:]
+        self.kk_row_shape = kk_data.shape[1:]
+        self.x_flat = x_data.reshape(x_data.shape[0], -1)
+        self.kk_flat = kk_data.reshape(kk_data.shape[0], -1)
+
+    @classmethod
+    def from_flat(cls, x_flat, kk_flat, x_row_shape, kk_row_shape):
+        ds = cls.__new__(cls)
+        if x_flat.shape[0] != kk_flat.shape[0]:
+            raise ValueError(
+                f"row mismatch: x_flat {x_flat.shape[0]} vs kk_flat {kk_flat.shape[0]}"
+            )
+        ds.x_flat, ds.kk_flat = x_flat, kk_flat
+        ds.x_row_shape = tuple(x_row_shape)
+        ds.kk_row_shape = tuple(kk_row_shape)
+        return ds
+
+    @property
+    def x_data(self) -> jnp.ndarray:
+        """Rows as (N, H+1, n). Materializes the padded 3-D layout — fine on
+        CPU/host, avoid on TPU at dataset scale (use x_flat + per-batch
+        reshape, as the scanned trainer does)."""
+        return self.x_flat.reshape((-1,) + self.x_row_shape)
+
+    @property
+    def kk_data(self) -> jnp.ndarray:
+        """Rows as (N, H, m*(1+n)) — same padding caveat as ``x_data``."""
+        return self.kk_flat.reshape((-1,) + self.kk_row_shape)
 
     def __len__(self) -> int:
-        return int(self.x_data.shape[0])
+        return int(self.x_flat.shape[0])
 
     def split(self, train_frac: float = 0.8, seed: int = 42):
         """On-device shuffled train/test split (transformer_training.py:45-56
-        semantics: fixed seed, 80/20 by default)."""
+        semantics: fixed seed, 80/20 by default). Gathers on the flat layout."""
         perm = jax.random.permutation(jax.random.PRNGKey(seed), len(self))
         cut = int(len(self) * train_frac)
         tr, te = perm[:cut], perm[cut:]
         return (
-            DeviceGainDataset(self.x_data[tr], self.kk_data[tr]),
-            DeviceGainDataset(self.x_data[te], self.kk_data[te]),
+            DeviceGainDataset.from_flat(
+                self.x_flat[tr], self.kk_flat[tr], self.x_row_shape, self.kk_row_shape
+            ),
+            DeviceGainDataset.from_flat(
+                self.x_flat[te], self.kk_flat[te], self.x_row_shape, self.kk_row_shape
+            ),
         )
 
     def to_host(self) -> GainDataset:
-        """Materialize on host (forces the full transfer — archival only)."""
-        return GainDataset(np.asarray(self.x_data), np.asarray(self.kk_data))
+        """Materialize on host (forces the full transfer — archival only).
+        The flat arrays cross the link; the 3-D reshape happens host-side."""
+        return GainDataset(
+            np.asarray(self.x_flat).reshape((-1,) + self.x_row_shape),
+            np.asarray(self.kk_flat).reshape((-1,) + self.kk_row_shape),
+        )
 
 
 def _pack_rows(k_rows: np.ndarray, big_k_rows: np.ndarray) -> np.ndarray:
@@ -280,6 +327,16 @@ def collect_gain_dataset(
             )
             # Stable sort on ~valid: valid rows first, original order kept.
             order = jnp.argsort(jnp.logical_not(vf))[:cap]
+            if device_resident:
+                # Flatten rows to 2-D INSIDE the jit: the accumulated dataset
+                # stays in the low-padding flat layout (see DeviceGainDataset)
+                # and XLA fuses gather+reshape without materializing the
+                # padded 3-D gather result.
+                return (
+                    xf[order].reshape(cap, -1),
+                    kkf[order].reshape(cap, -1),
+                    vf.sum(),
+                )
             return xf[order], kkf[order], vf.sum()
 
     xs_out, kk_out = [], []
@@ -321,7 +378,12 @@ def collect_gain_dataset(
         xs_out.append(x_rows[mask])
         kk_out.append(_pack_rows(k_rows[mask], big_k_rows[mask]))
     if device_resident:
-        return DeviceGainDataset(jnp.concatenate(xs_out), jnp.concatenate(kk_out))
+        return DeviceGainDataset.from_flat(
+            jnp.concatenate(xs_out),
+            jnp.concatenate(kk_out),
+            (horizon + 1, n),
+            (horizon, control_dim * (1 + n)),
+        )
     return GainDataset(
         x_data=np.concatenate(xs_out), kk_data=np.concatenate(kk_out)
     )

@@ -258,6 +258,31 @@ def train_gain_predictor(
     return TrainResult(trained, np.asarray(train_hist), np.asarray(test_hist))
 
 
+def _fit_normalizer_flat(x_flat, kk_flat, x_shape, kk_shape) -> DataNormalizer:
+    """`DataNormalizer.fit` over flat-layout (N, T*F) rows WITHOUT reshaping
+    the full arrays to (N, T, F) (which would materialize the padded 3-D TPU
+    layout the flat storage exists to avoid). Per-column first/second moments
+    reduce over the row axis on device — clean (8,128)-tiled reductions —
+    then the tiny (T*F,) moment vectors are reshaped host-side and averaged
+    over T. Identical in exact arithmetic to fit()'s mean/std over axes
+    (0, 1) because every t has the same row count."""
+
+    @jax.jit
+    def _col_moments(a):
+        af = a.astype(jnp.float32)
+        return af.mean(axis=0), (af * af).mean(axis=0)
+
+    def stats(flat, shape):
+        m1, m2 = (np.asarray(v).reshape(shape) for v in _col_moments(flat))
+        mean = m1.mean(axis=0)
+        var = np.maximum(m2.mean(axis=0) - mean * mean, 0.0)
+        return jnp.asarray(mean), jnp.asarray(np.sqrt(var) + 1e-6)
+
+    x_mean, x_std = stats(x_flat, x_shape)
+    u_mean, u_std = stats(kk_flat, kk_shape)
+    return DataNormalizer(x_mean=x_mean, x_std=x_std, u_mean=u_mean, u_std=u_std)
+
+
 def _train_device_resident(
     predictor: GainPredictor,
     train_data: DeviceGainDataset,
@@ -281,8 +306,13 @@ def _train_device_resident(
     """
     prompt_len = predictor.prompt_len
     stride = getattr(predictor, "state_stride", 1)
-    x_raw, kk_raw = train_data.x_data, train_data.kk_data
-    normalizer = DataNormalizer.fit(x_raw, kk_raw)
+    # Rows stay in the flat 2-D HBM layout end to end (see DeviceGainDataset:
+    # the 3-D row shapes pad 2.8-10x under TPU tiling and OOM at dataset
+    # scale); only per-minibatch gathers are reshaped back to 3-D.
+    x_raw, kk_raw = train_data.x_flat, train_data.kk_flat
+    x_shape = train_data.x_row_shape  # (H+1, n)
+    kk_shape = train_data.kk_row_shape  # (H, d)
+    normalizer = _fit_normalizer_flat(x_raw, kk_raw, x_shape, kk_shape)
     normalizer = DataNormalizer(
         *(jnp.asarray(a, jnp.float32) for a in normalizer)
     )
@@ -296,8 +326,10 @@ def _train_device_resident(
     opt_state = tx.init(params)
 
     def norm_batch(xsrc, kksrc, ib):
-        xb = normalizer.transform_x(jnp.asarray(xsrc[ib][:, ::stride], jnp.float32))
-        kk = normalizer.transform_u(jnp.asarray(kksrc[ib], jnp.float32))
+        xrows = xsrc[ib].reshape((ib.shape[0],) + x_shape)
+        kkrows = kksrc[ib].reshape((ib.shape[0],) + kk_shape)
+        xb = normalizer.transform_x(jnp.asarray(xrows[:, ::stride], jnp.float32))
+        kk = normalizer.transform_u(jnp.asarray(kkrows, jnp.float32))
         return xb, kk[:, -prompt_len:, :], kk[:, : kk.shape[1] - prompt_len, :]
 
     def loss_fn(p, xb, pb, tb, dropout_key):
@@ -325,7 +357,7 @@ def _train_device_resident(
 
     full_test_loss = None
     if test_data is not None:
-        xt, kt = test_data.x_data, test_data.kk_data
+        xt, kt = test_data.x_flat, test_data.kk_flat
         n_test = int(xt.shape[0])
         chunk = min(4096, n_test)
         # Equal-size chunks scan in one dispatch; a sub-chunk tail would be a
