@@ -122,6 +122,39 @@ def mujoco_plant_adapters(system):
             20, bridge.solver_params())
 
 
+def mujoco_plant_adapters_batched(system, count):
+    """``count`` independent plant adapter tuples for the lockstep batched
+    host-loop collector (one MuJoCo instance per lane), plus (substeps,
+    measured-params)."""
+    from quattro_tpu.sim import CartPoleBridge, QuadrotorBridge
+
+    plants = []
+    if system == "cartpole":
+        for _ in range(count):
+            b = CartPoleBridge()
+            plants.append((
+                lambda x0, b=b: b.reset(position=float(x0[0]), angle=float(x0[2])),
+                b.read_state,
+                lambda u, b=b: b.apply_control(float(u[0])),
+                b.step,
+            ))
+        return plants, 1, None
+    measured = None
+    for _ in range(count):
+        b = QuadrotorBridge()
+        measured = b.solver_params()
+        plants.append((
+            lambda x0, b=b: b.reset(
+                position=(float(x0[0]), -float(x0[1]), float(x0[2])),
+                rpy=(float(x0[6]), float(x0[7]), float(x0[8])),
+            ),
+            b.read_state,
+            b.apply_thrusts,
+            b.step,
+        ))
+    return plants, 20, measured
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--system", required=True, choices=["cartpole", "quadrotor"])
@@ -144,6 +177,11 @@ def main() -> None:
                              "(training_data_collection.py:272-274), 'wide' = this "
                              "repo's broader envelope (cart-pole ignores this)")
     parser.add_argument("--sim-steps", type=int, default=100)
+    parser.add_argument("--parallel-plants", type=int, default=0,
+                        help="with --plant mujoco: run this many MuJoCo instances "
+                             "in lockstep with one vmapped solve per control step "
+                             "(amortizes the dispatch RTT at reference collection "
+                             "scale); 0 = sequential host loop")
     parser.add_argument("--max-iter", type=int, default=8)
     parser.add_argument("--compact-iters", type=int, default=None,
                         help="on-device valid-row compaction cap (mean accepted "
@@ -156,6 +194,9 @@ def main() -> None:
                              "--compact-iters (default 3); incompatible with "
                              "--plant mujoco and --dataset-out")
     parser.add_argument("--epochs", type=int, default=60)
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="orbax mid-training checkpoint/resume directory "
+                             "(long runs survive a crash)")
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--learning-rate", type=float, default=1e-3)
     parser.add_argument("--d-model", type=int, default=128)
@@ -189,10 +230,12 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.device_resident:
-        if args.plant == "mujoco":
+        if args.plant == "mujoco" and not args.parallel_plants:
             raise SystemExit("--device-resident requires an on-device plant "
-                             "(--plant model/randomized); the mujoco plant is a host loop")
-        if args.dataset_out:
+                             "(--plant model/randomized) or the batched mujoco "
+                             "host loop (--parallel-plants N, whose host rows "
+                             "are uploaded flat for scanned-epoch training)")
+        if args.dataset_out and args.plant != "mujoco":
             raise SystemExit("--device-resident keeps rows in HBM; --dataset-out "
                              "would force the full transfer this mode exists to avoid")
         if args.compact_iters is None:
@@ -267,6 +310,31 @@ def main() -> None:
 
         dataset = load_gain_dataset(args.dataset_in)
         print(f"loaded {dataset.x_data.shape[0]} rows from {args.dataset_in}", flush=True)
+    elif args.plant == "mujoco" and args.parallel_plants:
+        from quattro_tpu.training import collect_gain_dataset_host_batched
+
+        plants, substeps, measured = mujoco_plant_adapters_batched(
+            args.system, args.parallel_plants
+        )
+        print(f"collecting (mujoco plant, {args.parallel_plants} lockstep lanes): "
+              f"{args.num_inits} inits x {args.sim_steps} MPC steps x <= "
+              f"{args.max_iter} iLQR iters (horizon {horizon})", flush=True)
+        if measured is not None:
+            # Parameter-match the solver's model to the compiled MuJoCo plant
+            # (quadrotor_wrapper.py:76-83 semantics).
+            from quattro_tpu.systems import make_discrete, quadrotor_dynamics
+
+            dyn = make_discrete(
+                lambda x, u: quadrotor_dynamics(x, u, measured), 0.01, "rk4"
+            )
+        dataset = collect_gain_dataset_host_batched(
+            plants, dyn, cost, fcost, x0s, horizon, m, args.sim_steps,
+            config=solve_config, substeps=substeps,
+            compact_iters=args.compact_iters or 3,
+            shard_path=args.dataset_out
+            if args.dataset_out and args.dataset_out.endswith(".qtshard") else None,
+            verbose=True,
+        )
     elif args.plant == "mujoco":
         from quattro_tpu.training import collect_gain_dataset_host
 
@@ -330,6 +398,14 @@ def main() -> None:
             device_resident=args.device_resident, verbose=True,
         )
     print(f"collected {dataset.x_data.shape[0]} rows in {time.time() - t0:.1f}s", flush=True)
+    stats = getattr(dataset, "stats", None)
+    if stats is not None:
+        print(f"row accounting: kept {stats.rows_kept}/{stats.rows_valid} valid "
+              f"(dropped fraction {stats.dropped_fraction:.4f})", flush=True)
+        if stats.dropped_fraction > 0.01:
+            print("WARNING: >1% of valid rows dropped by the compaction cap — "
+                  "raise --compact-iters (data is skewed toward easy steps)",
+                  flush=True)
     if args.dataset_out and not args.dataset_in and not (
             args.plant == "mujoco" and args.dataset_out.endswith(".qtshard")):
         from quattro_tpu.training import save_gain_dataset
@@ -337,7 +413,21 @@ def main() -> None:
         save_gain_dataset(args.dataset_out, dataset)
 
     # 80/20 split, shuffled with a fixed seed (transformer_training.py:45-56).
-    if args.device_resident:
+    if args.device_resident and isinstance(dataset, GainDataset):
+        # Batched-mujoco rows land on host: split host-side (no 2x HBM gather
+        # peak), then upload each split once in the flat low-padding layout.
+        from quattro_tpu.training import DeviceGainDataset
+
+        rng = np.random.default_rng(42)
+        perm = rng.permutation(dataset.x_data.shape[0])
+        split = int(len(perm) * 0.8)
+        train = DeviceGainDataset.from_host(
+            GainDataset(dataset.x_data[perm[:split]], dataset.kk_data[perm[:split]])
+        )
+        test = DeviceGainDataset.from_host(
+            GainDataset(dataset.x_data[perm[split:]], dataset.kk_data[perm[split:]])
+        )
+    elif args.device_resident:
         train, test = dataset.split(0.8, seed=42)
     else:
         rng = np.random.default_rng(42)
@@ -365,13 +455,15 @@ def main() -> None:
     result = train_gain_predictor(
         predictor, train, test,
         TrainConfig(num_epochs=args.epochs, batch_size=args.batch_size,
-                    learning_rate=args.learning_rate),
+                    learning_rate=args.learning_rate,
+                    checkpoint_dir=args.checkpoint_dir),
     )
     print(f"trained in {time.time() - t0:.1f}s", flush=True)
 
     result.predictor.save(args.out)
     print(json.dumps({
         "rows": int(dataset.x_data.shape[0]),
+        "dropped_fraction": (stats.dropped_fraction if stats is not None else None),
         "params": int(result.predictor.num_params()),
         "final_train_loss": float(result.train_loss_history[-1]) if len(result.train_loss_history) else None,
         "final_test_loss": float(result.test_loss_history[-1]) if len(result.test_loss_history) else None,

@@ -7,8 +7,10 @@ become stacked arrays, and the PyTorch loop becomes optax + jit.
 
 from quattro_tpu.training.collect import (
     collect_gain_dataset,
+    CollectStats,
     DeviceGainDataset,
     collect_gain_dataset_host,
+    collect_gain_dataset_host_batched,
     GainDataset,
     ShardDataset,
     lhs_initial_states,
@@ -21,6 +23,8 @@ from quattro_tpu.training.train import TrainConfig, train_gain_predictor
 __all__ = [
     "collect_gain_dataset",
     "collect_gain_dataset_host",
+    "collect_gain_dataset_host_batched",
+    "CollectStats",
     "DeviceGainDataset",
     "GainDataset",
     "ShardDataset",

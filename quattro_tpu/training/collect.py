@@ -29,11 +29,31 @@ from quattro_tpu.solver.ilqr import ILQRConfig, ilqr_solve_with_logs, pack_gain_
 from quattro_tpu.control.mpc import shift_warm_start
 
 
+class CollectStats(NamedTuple):
+    """Row-accounting metadata for a collection run.
+
+    ``rows_valid`` counts every valid (executed-iteration) row the solver
+    produced; ``rows_kept`` is what survived the compaction cap. A nonzero
+    ``dropped_fraction`` means ``compact_iters`` was set below the mean
+    accepted-iteration count and the dataset is systematically skewed toward
+    easy (few-iteration) control steps — keep it under ~1% for training runs.
+    """
+
+    rows_kept: int
+    rows_valid: int
+    rows_dropped: int
+
+    @property
+    def dropped_fraction(self) -> float:
+        return self.rows_dropped / max(self.rows_valid, 1)
+
+
 class GainDataset(NamedTuple):
     """Stacked training rows for the gain predictor."""
 
     x_data: np.ndarray  # (N, H+1, n) raw state trajectories (iteration start)
     kk_data: np.ndarray  # (N, H, m*(1+n)) packed gain tokens
+    stats: Optional[CollectStats] = None  # row accounting (None for loaded data)
 
 
 class DeviceGainDataset:
@@ -74,6 +94,7 @@ class DeviceGainDataset:
         self.kk_row_shape = kk_data.shape[1:]
         self.x_flat = x_data.reshape(x_data.shape[0], -1)
         self.kk_flat = kk_data.reshape(kk_data.shape[0], -1)
+        self.stats: Optional[CollectStats] = None
 
     @classmethod
     def from_flat(cls, x_flat, kk_flat, x_row_shape, kk_row_shape):
@@ -85,6 +106,27 @@ class DeviceGainDataset:
         ds.x_flat, ds.kk_flat = x_flat, kk_flat
         ds.x_row_shape = tuple(x_row_shape)
         ds.kk_row_shape = tuple(kk_row_shape)
+        ds.stats = None
+        return ds
+
+    @classmethod
+    def from_host(cls, dataset: "GainDataset"):
+        """Upload a host dataset into HBM for the scanned-epoch trainer.
+
+        The upload happens in the FLAT 2-D layout: putting the 3-D rows and
+        reshaping on device would materialize the padded (8,128)-tiled 3-D
+        layout this class exists to avoid (2.8-10x HBM expansion at the
+        quadrotor row shape).
+        """
+        x = np.asarray(dataset.x_data)
+        kk = np.asarray(dataset.kk_data)
+        ds = cls.from_flat(
+            jnp.asarray(x.reshape(x.shape[0], -1)),
+            jnp.asarray(kk.reshape(kk.shape[0], -1)),
+            x.shape[1:],
+            kk.shape[1:],
+        )
+        ds.stats = dataset.stats
         return ds
 
     @property
@@ -124,6 +166,31 @@ class DeviceGainDataset:
             np.asarray(self.x_flat).reshape((-1,) + self.x_row_shape),
             np.asarray(self.kk_flat).reshape((-1,) + self.kk_row_shape),
         )
+
+
+@partial(jax.jit, static_argnames=("cap", "flatten"))
+def _compact_valid_rows(x_log, k_log, big_k_log, valid, *, cap, flatten):
+    """Device-side row compaction shared by the collection sweeps.
+
+    Inputs carry three leading batch-ish axes (e.g. ``(chunk, sim_steps,
+    max_iter, ...)`` or ``(sim_steps, plants, max_iter, ...)``); rows are
+    flattened, gain tokens packed in the solver's interleaved layout, valid
+    rows stably sorted to the front, and the first ``cap`` rows returned
+    along with the true valid count. ``flatten=True`` additionally reshapes
+    each row to 1-D inside the jit (the DeviceGainDataset low-padding
+    storage layout).
+    """
+    flat = lambda a: a.reshape((-1,) + a.shape[3:])
+    xf, kf, bf = flat(x_log), flat(k_log), flat(big_k_log)
+    vf = valid.reshape(-1)
+    kkf = jnp.concatenate([kf[..., None], bf], axis=-1).reshape(
+        kf.shape[0], kf.shape[1], -1
+    )
+    # Stable sort on ~valid: valid rows first, original order kept.
+    order = jnp.argsort(jnp.logical_not(vf))[:cap]
+    if flatten:
+        return xf[order].reshape(cap, -1), kkf[order].reshape(cap, -1), vf.sum()
+    return xf[order], kkf[order], vf.sum()
 
 
 def _pack_rows(k_rows: np.ndarray, big_k_rows: np.ndarray) -> np.ndarray:
@@ -317,29 +384,8 @@ def collect_gain_dataset(
     if compact_iters is not None:
         cap = chunk_size * sim_steps * compact_iters
 
-        @jax.jit
-        def compact(x_log, k_log, big_k_log, valid):
-            flat = lambda a: a.reshape((-1,) + a.shape[3:])
-            xf, kf, bf = flat(x_log), flat(k_log), flat(big_k_log)
-            vf = valid.reshape(-1)
-            kkf = jnp.concatenate([kf[..., None], bf], axis=-1).reshape(
-                kf.shape[0], kf.shape[1], -1
-            )
-            # Stable sort on ~valid: valid rows first, original order kept.
-            order = jnp.argsort(jnp.logical_not(vf))[:cap]
-            if device_resident:
-                # Flatten rows to 2-D INSIDE the jit: the accumulated dataset
-                # stays in the low-padding flat layout (see DeviceGainDataset)
-                # and XLA fuses gather+reshape without materializing the
-                # padded 3-D gather result.
-                return (
-                    xf[order].reshape(cap, -1),
-                    kkf[order].reshape(cap, -1),
-                    vf.sum(),
-                )
-            return xf[order], kkf[order], vf.sum()
-
     xs_out, kk_out = [], []
+    rows_valid = rows_kept = 0
     for lo in range(0, batch, chunk_size):
         if verbose:
             import time as _time
@@ -351,8 +397,14 @@ def collect_gain_dataset(
             )
         swept = run_sweep(lo, lo + chunk_size)
         if cap is not None:
-            x_c, kk_c, n_valid = compact(*swept)
+            # flatten=device_resident: the HBM-resident dataset stays in the
+            # low-padding flat layout (see DeviceGainDataset) and XLA fuses
+            # gather+reshape without materializing the padded 3-D gather.
+            x_c, kk_c, n_valid = _compact_valid_rows(
+                *swept, cap=cap, flatten=device_resident
+            )
             take = int(n_valid)  # scalar fetch first ...
+            rows_valid += take
             if take > cap:
                 print(
                     f"collect_gain_dataset: chunk at {lo} produced {take} valid "
@@ -360,6 +412,7 @@ def collect_gain_dataset(
                     flush=True,
                 )
                 take = cap
+            rows_kept += take
             # ... then device-slice BEFORE the host fetch: only the valid
             # rows cross the (slow) device->host link, not the cap padding.
             if device_resident:
@@ -375,17 +428,26 @@ def collect_gain_dataset(
         k_rows = np.asarray(k_log).reshape((-1,) + k_log.shape[3:])
         big_k_rows = np.asarray(big_k_log).reshape((-1,) + big_k_log.shape[3:])
         mask = np.asarray(valid).reshape(-1)
+        rows_valid += int(mask.sum())
+        rows_kept += int(mask.sum())
         xs_out.append(x_rows[mask])
         kk_out.append(_pack_rows(k_rows[mask], big_k_rows[mask]))
+    stats = CollectStats(
+        rows_kept=rows_kept, rows_valid=rows_valid,
+        rows_dropped=rows_valid - rows_kept,
+    )
     if device_resident:
-        return DeviceGainDataset.from_flat(
+        ds = DeviceGainDataset.from_flat(
             jnp.concatenate(xs_out),
             jnp.concatenate(kk_out),
             (horizon + 1, n),
             (horizon, control_dim * (1 + n)),
         )
+        ds.stats = stats
+        return ds
     return GainDataset(
-        x_data=np.concatenate(xs_out), kk_data=np.concatenate(kk_out)
+        x_data=np.concatenate(xs_out), kk_data=np.concatenate(kk_out),
+        stats=stats,
     )
 
 
@@ -470,6 +532,144 @@ def collect_gain_dataset_host(
         if writer is not None:
             writer.close()
     return GainDataset(np.concatenate(rows_x), np.concatenate(rows_kk))
+
+
+def collect_gain_dataset_host_batched(
+    plants,
+    dynamics: Callable,
+    cost: Callable,
+    final_cost: Callable,
+    x0_batch,
+    horizon: int,
+    control_dim: int,
+    sim_steps: int,
+    config: ILQRConfig = ILQRConfig(),
+    substeps: int = 1,
+    compact_iters: int = 3,
+    shard_path: Optional[str] = None,
+    verbose: bool = False,
+) -> GainDataset:
+    """Batched host-loop collection against P EXTERNAL plants in lockstep.
+
+    The sequential :func:`collect_gain_dataset_host` pays one device
+    round-trip per (initial state, control step) — on a tunnel-attached TPU
+    (~26 ms dispatch RTT on this rig) reference-scale quadrotor collection
+    (~2000 inits x 100 MPC steps, the shipped 616.2k checkpoint's data scale,
+    training_data_collection.py:269-288) is hours of RTT. Here ``P =
+    len(plants)`` independent plant instances advance in lockstep and every
+    control step is ONE vmapped logging solve: the RTT amortizes over P
+    trajectories (the TPU-native replacement for the reference's 10-process
+    ``multiprocessing.Pool``, :291-305).
+
+    Per-step log buffers stay ON DEVICE; once a round's ``sim_steps`` finish,
+    rows are compacted device-side (valid-sort + token pack, cap
+    ``P * sim_steps * compact_iters``) and only the valid rows cross the
+    device->host link. Rows beyond the cap are dropped (counted in
+    ``stats``) — size ``compact_iters`` at or above the mean accepted
+    iteration count.
+
+    ``plants``: sequence of ``(reset_fn, read_fn, apply_fn, step_fn)``
+    adapters (the :func:`collect_gain_dataset_host` protocol), one per
+    lockstep lane. ``x0_batch`` must be a multiple of ``len(plants)``.
+
+    ``shard_path``: append one ``.qtshard`` record per completed round —
+    a crash loses at most the current round of ``P`` runs (the reference's
+    periodic-flush loss bound, training_data_collection.py:197-202).
+
+    Returns a host :class:`GainDataset` (with ``stats``); at reference scale
+    feed it to the trainer via ``DeviceGainDataset.from_host`` so training
+    uses the scanned-epoch path.
+    """
+    num_plants = len(plants)
+    x0_np = np.asarray(x0_batch)
+    batch = x0_np.shape[0]
+    if batch % num_plants != 0:
+        raise ValueError(
+            f"x0_batch rows ({batch}) must be a multiple of len(plants) "
+            f"({num_plants}) — lockstep rounds need full lanes"
+        )
+    if config.parallel_riccati is None and config.riccati == "auto":
+        config = config._replace(batch_hint=max(config.batch_hint, num_plants))
+    solve = partial(ilqr_solve_with_logs, dynamics, cost, final_cost, config=config)
+
+    @jax.jit
+    def batched_step(x_now, u_warm):
+        sol, logs = jax.vmap(solve)(x_now, u_warm)
+        u_next = jnp.concatenate([sol.u_seq[:, 1:], sol.u_seq[:, -1:]], axis=1)
+        return sol.u_seq[:, 0], u_next, (
+            logs.x_seq, logs.k_seq, logs.big_k_seq, logs.valid,
+        )
+
+    cap = num_plants * sim_steps * compact_iters
+    writer = None
+    if shard_path is not None:
+        from quattro_tpu.io import ShardWriter
+
+        writer = ShardWriter(shard_path)
+
+    xs_out, kk_out = [], []
+    rows_valid = rows_kept = 0
+    try:
+        for lo in range(0, batch, num_plants):
+            if verbose:
+                import time as _time
+
+                print(
+                    f"collect_gain_dataset_host_batched: round "
+                    f"{lo // num_plants + 1}/{batch // num_plants} "
+                    f"({num_plants} plants) @ {_time.time():.0f}",
+                    flush=True,
+                )
+            for p, (reset_fn, _, _, _) in enumerate(plants):
+                reset_fn(x0_np[lo + p])
+            u_warm = jnp.zeros((num_plants, horizon, control_dim), jnp.float32)
+            step_logs = []
+            for _ in range(sim_steps):
+                x_now = jnp.asarray(
+                    np.stack([read_fn() for (_, read_fn, _, _) in plants]),
+                    dtype=jnp.float32,
+                )
+                u0, u_warm, logs = batched_step(x_now, u_warm)
+                step_logs.append(logs)
+                u0_np = np.asarray(u0)  # the round's single device->host sync
+                for p, (_, _, apply_fn, step_fn) in enumerate(plants):
+                    apply_fn(u0_np[p])
+                    for _ in range(substeps):
+                        step_fn()
+            # Stack (sim_steps, P, max_iter, ...) and compact on device.
+            stacked = tuple(
+                jnp.stack([sl[i] for sl in step_logs]) for i in range(4)
+            )
+            del step_logs
+            x_c, kk_c, n_valid = _compact_valid_rows(*stacked, cap=cap, flatten=False)
+            del stacked
+            take = int(n_valid)
+            rows_valid += take
+            if take > cap:
+                print(
+                    f"collect_gain_dataset_host_batched: round at {lo} produced "
+                    f"{take} valid rows > cap {cap}; dropping {take - cap}",
+                    flush=True,
+                )
+                take = cap
+            rows_kept += take
+            x_host = np.asarray(x_c[:take])
+            kk_host = np.asarray(kk_c[:take])
+            if writer is not None:
+                writer.append({"x_data": x_host, "kk_data": kk_host})
+            xs_out.append(x_host)
+            kk_out.append(kk_host)
+    finally:
+        if writer is not None:
+            writer.close()
+    return GainDataset(
+        x_data=np.concatenate(xs_out),
+        kk_data=np.concatenate(kk_out),
+        stats=CollectStats(
+            rows_kept=rows_kept, rows_valid=rows_valid,
+            rows_dropped=rows_valid - rows_kept,
+        ),
+    )
 
 
 def save_gain_dataset(path: str, dataset: GainDataset, rows_per_record: int = 1024) -> str:

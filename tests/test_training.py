@@ -470,3 +470,134 @@ def test_device_resident_collection_and_scanned_training(problem, dataset):
             TrainConfig(num_epochs=1, batch_size=16),
             mesh=make_mesh((2, 1)),
         )
+
+
+def _model_plant_adapter(dyn):
+    """Host plant adapter driven by the solver's own discrete dynamics —
+    exercises the collect_gain_dataset_host* plant protocol without MuJoCo."""
+    state = {"x": None, "u": None}
+
+    def reset(x0):
+        state["x"] = np.asarray(x0, dtype=np.float32)
+
+    def read():
+        return state["x"]
+
+    def apply(u):
+        state["u"] = np.asarray(u, dtype=np.float32)
+
+    def step():
+        state["x"] = np.asarray(
+            dyn(jnp.asarray(state["x"]), jnp.asarray(state["u"])), dtype=np.float32
+        )
+
+    return reset, read, apply, step
+
+
+def _flat_rows(x_data, kk_data):
+    return np.concatenate(
+        [np.asarray(x_data).reshape(len(x_data), -1),
+         np.asarray(kk_data).reshape(len(kk_data), -1)], axis=1,
+    )
+
+
+def _assert_rows_match(a, b, atol):
+    """Each row of ``a`` pairs 1:1 with a distinct row of ``b`` within atol.
+
+    Set comparison with float slack: the vmapped and single-solve paths fuse
+    differently under XLA, so rows agree only to float32 noise — too loose
+    for bit-sorting, far tighter than the spacing between distinct rows."""
+    assert a.shape == b.shape
+    used = np.zeros(len(b), dtype=bool)
+    for i, row in enumerate(a):
+        d = (np.abs(b - row) / (1.0 + np.abs(row))).max(axis=1)
+        d[used] = np.inf
+        j = int(np.argmin(d))
+        assert d[j] < atol, (i, j, d[j])
+        used[j] = True
+
+
+def test_batched_host_collection_matches_sequential(problem):
+    """The lockstep P-plant collector produces the same row SET as the
+    sequential host loop (order differs: (step, plant, iter) vs per-run), and
+    its stats account for every valid row."""
+    from quattro_tpu.training import (
+        collect_gain_dataset_host,
+        collect_gain_dataset_host_batched,
+    )
+
+    dyn, cost, fcost = problem
+    x0s = np.array(
+        [[0.2, 0.0, 0.2, 0.0], [-0.15, 0.0, -0.25, 0.0],
+         [0.1, 0.0, -0.1, 0.0], [-0.05, 0.0, 0.3, 0.0]],
+        dtype=np.float32,
+    )
+    # riccati="seq" on both sides: the vmapped and single-solve paths run the
+    # identical backward form (only XLA-fusion float noise differs). tol ~ 0
+    # pins every solve to exactly max_iter iterations — a finite tol sits on
+    # an accept/converge boundary where float noise flips iteration counts
+    # between the two paths and the row sets differ structurally.
+    config = ILQRConfig(tol=1e-12, max_iter=3, riccati="seq")
+
+    seq_parts = []
+    for x0 in x0s:
+        reset, read, apply, step = _model_plant_adapter(dyn)
+        seq_parts.append(collect_gain_dataset_host(
+            reset, read, apply, step, dyn, cost, fcost,
+            x0[None], HORIZON, 1, sim_steps=3, config=config, substeps=2,
+        ))
+    seq_x = np.concatenate([p.x_data for p in seq_parts])
+    seq_kk = np.concatenate([p.kk_data for p in seq_parts])
+
+    plants = [_model_plant_adapter(dyn) for _ in range(2)]
+    batched = collect_gain_dataset_host_batched(
+        plants, dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=3,
+        config=config, substeps=2, compact_iters=6,
+    )
+
+    assert batched.stats is not None
+    assert batched.stats.rows_dropped == 0
+    assert batched.stats.rows_kept == batched.x_data.shape[0] == seq_x.shape[0]
+    _assert_rows_match(
+        _flat_rows(batched.x_data, batched.kk_data),
+        _flat_rows(seq_x, seq_kk),
+        atol=1e-3,
+    )
+
+    # Lane count must divide the batch.
+    with pytest.raises(ValueError):
+        collect_gain_dataset_host_batched(
+            [_model_plant_adapter(dyn) for _ in range(3)],
+            dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=2, config=config,
+        )
+
+
+def test_batched_host_collection_cap_drop_accounting(problem):
+    """A too-small compact cap drops rows and reports an honest fraction."""
+    from quattro_tpu.training import collect_gain_dataset_host_batched
+
+    dyn, cost, fcost = problem
+    x0s = np.array(
+        [[0.3, 0.0, 0.3, 0.0], [-0.3, 0.0, -0.3, 0.0]], dtype=np.float32
+    )
+    plants = [_model_plant_adapter(dyn) for _ in range(2)]
+    ds = collect_gain_dataset_host_batched(
+        plants, dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=4,
+        config=ILQRConfig(tol=1e-3, max_iter=8, riccati="seq"),
+        compact_iters=1,
+    )
+    cap = 2 * 4 * 1
+    assert ds.x_data.shape[0] == cap
+    assert ds.stats.rows_dropped == ds.stats.rows_valid - cap > 0
+    assert 0.0 < ds.stats.dropped_fraction < 1.0
+
+
+def test_device_dataset_from_host_roundtrip(dataset):
+    """from_host uploads flat-layout rows that match the source bit-exactly."""
+    from quattro_tpu.training import DeviceGainDataset
+
+    dev = DeviceGainDataset.from_host(dataset)
+    assert dev.x_flat.ndim == 2 and dev.kk_flat.ndim == 2
+    np.testing.assert_array_equal(np.asarray(dev.x_data), dataset.x_data)
+    np.testing.assert_array_equal(np.asarray(dev.kk_data), dataset.kk_data)
+    assert dev.stats == dataset.stats
