@@ -55,6 +55,89 @@ sys.path.insert(0, _HERE)
 sys.path.insert(0, os.path.join(_HERE, ".."))
 
 
+# Interconnect parameter sets for the analytic projection. Public
+# figures (approximate, from the "How to Scale Your Model" book's v5p
+# chapter and TPU system papers): v5p ICI ~90 GB/s per link per direction
+# with ~1 us neighbor-hop latency; cross-slice DCN ~25 GB/s per host with
+# ~10 us latency. The halo payload (~1-2 KB) makes every hop LATENCY-bound,
+# so the hop count (tree: ceil(log2 D)+1) dominates and the bandwidth terms
+# are almost irrelevant — which is exactly why the ppermute schedule
+# minimizes rounds, not bytes.
+INTERCONNECTS = {
+    "v5p_ici": {"latency_s": 1e-6, "bandwidth_bytes_per_s": 90e9},
+    "dcn": {"latency_s": 10e-6, "bandwidth_bytes_per_s": 25e9},
+}
+
+
+def analytic_projection(
+    t_part1: float,
+    t_best1: float,
+    horizon: int,
+    n: int,
+    local_batch_rows: int = 1,
+    dtype_bytes: int = 4,
+    dev_counts=(2, 4, 8, 16, 32, 64),
+    mode: str = "tree",
+) -> dict:
+    """Predicted strong-scaling efficiency of the horizon-partitioned
+    backward pass on REAL interconnects — the half of the >=80% target this
+    rig cannot measure (one chip; the CPU mesh time-shares a core).
+
+    Model: t(D) = t_part1/D  (the partitioned algorithm's work divides
+    cleanly — measured super-unity projected efficiencies on the virtual
+    mesh confirm zero redundant compute)
+           + rounds(D) * t_combine  (the cross-device combines are serial)
+           + rounds(D) * (hop_latency + payload/bandwidth).
+
+    ``t_combine`` is calibrated from the measurement itself: the 1-device
+    partitioned run executes ~H combines in t_part1, so one combine costs
+    ~t_part1/H. Payload bytes and round counts come from
+    ``halo_schedule_spec`` — the same contract the lowering test pins to the
+    compiled HLO. Efficiency vs the best single-device implementation is the
+    honest number: eff(D) = t_best1 / (D * t(D)).
+    """
+    from quattro_tpu.parallel.horizon import halo_schedule_spec
+
+    t_combine = t_part1 / max(horizon, 1)
+    out = {
+        "model": "t(D) = t_part1/D + rounds*(t_combine + hop_lat + payload/bw)",
+        "t_part1_s": t_part1,
+        "t_best1_s": t_best1,
+        "t_combine_s": t_combine,
+        "mode": mode,
+        "interconnects": {},
+    }
+    for name, params in INTERCONNECTS.items():
+        spec = None
+        table = {}
+        max80 = 0
+        for d in dev_counts:
+            spec = halo_schedule_spec(n, "float32" if dtype_bytes == 4 else "float64", d, mode)
+            payload = spec["payload_bytes_per_hop"] * local_batch_rows
+            t_comm = spec["rounds"] * (
+                params["latency_s"] + payload / params["bandwidth_bytes_per_s"]
+            )
+            t_d = t_part1 / d + spec["rounds"] * t_combine + t_comm
+            eff_best = t_best1 / (d * t_d)
+            eff_same = t_part1 / (d * t_d)
+            table[str(d)] = {
+                "rounds": spec["rounds"],
+                "halo_bytes_per_hop": payload,
+                "t_comm_s": t_comm,
+                "t_predicted_s": t_d,
+                "efficiency_vs_best_1dev": eff_best,
+                "efficiency_vs_same_algo": eff_same,
+            }
+            if eff_best >= 0.8:
+                max80 = max(max80, d)
+        out["interconnects"][name] = {
+            "params": params,
+            "per_device_count": table,
+            "max_devices_with_eff_vs_best_ge_80pct": max80,
+        }
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
@@ -173,6 +256,12 @@ def main():
         times[d] = _time_pipelined(fn, (a, b, *exp), repeats=repeats)
         print(f"horizon D={d}: {times[d]*1e3:.2f} ms", flush=True)
     out["horizon_scaling"] = efficiency_table(times, block_nnz(1, horizon_h), t_best1)
+    # Analytic ICI/DCN projection from the measured 1-device times: the
+    # interconnect half of the >=80% target, modelled since this rig cannot
+    # measure real multi-chip hops.
+    out["horizon_scaling"]["analytic_projection"] = analytic_projection(
+        times[1], t_best1, horizon_h, n
+    )
 
     # ---- 3) 2D podscale (traj x horizon) ---------------------------------
     batch, horizon = pod_shape
@@ -205,6 +294,12 @@ def main():
         times[d] = _time_pipelined(fn, (a, b, *exp), repeats=repeats)
         print(f"podscale D={d} (traj={t_axis} x horizon={h_axis}): {times[d]*1e3:.2f} ms", flush=True)
     out["podscale_scaling"] = efficiency_table(times, block_nnz(batch, horizon), t_best1)
+    # 2-D mesh projection: the halo payload scales with the LOCAL batch
+    # rows riding each horizon hop (traj axis fixed at the harness split).
+    out["podscale_scaling"]["analytic_projection"] = analytic_projection(
+        times[1], t_best1, horizon, n,
+        local_batch_rows=max(batch // max(dev_counts[-1] // 4, 1), 1),
+    )
 
     print(json.dumps(out, indent=2))
     if args.json:

@@ -151,6 +151,42 @@ def cross_device_exclusive_suffix(
     )
 
 
+def halo_schedule_spec(n: int, dtype, num_shards: int, mode: str = "tree") -> dict:
+    """Analytic contract of the halo exchange: what travels, how often.
+
+    The payload of every ppermute hop is one :class:`ValueElement` — the
+    boundary value function in affine-composition form: ``a (n,n), b (n),
+    c (n,n), eta (n), j (n,n)`` = ``3n^2 + 2n`` scalars. Rounds:
+
+    - ``tree``: recursive doubling = ``ceil(log2 D)`` inclusive-suffix hops
+      + 1 exclusive shift;
+    - ``ring``: ``D - 1`` shift-by-one hops.
+
+    Tests assert the compiled HLO honors this spec (collective-permute count
+    and operand bytes), and the scaling harness's analytic ICI/DCN latency
+    model consumes it — so the spec, the lowering, and the projection can
+    never drift apart silently.
+    """
+    import math
+
+    import numpy as np
+
+    itemsize = np.dtype(dtype).itemsize
+    scalars = 3 * n * n + 2 * n
+    if mode == "tree":
+        rounds = (math.ceil(math.log2(num_shards)) + 1) if num_shards > 1 else 0
+    elif mode == "ring":
+        rounds = num_shards - 1
+    else:
+        raise ValueError(f"unknown cross-device scan mode {mode!r}")
+    return {
+        "payload_scalars_per_hop": scalars,
+        "payload_bytes_per_hop": scalars * itemsize,
+        "rounds": rounds,
+        "total_bytes_per_device": scalars * itemsize * rounds,
+    }
+
+
 def _identity_element(n: int, dtype) -> ValueElement:
     """Neutral element of the composition: V passes through unchanged.
 

@@ -172,3 +172,62 @@ def test_tree_and_ring_halo_schedules_agree():
     np.testing.assert_allclose(np.asarray(tree.k_seq), np.asarray(seq.k_seq), rtol=1e-3, atol=1e-5)
     with pytest.raises(ValueError):
         sharded_riccati_backward(mesh, a, b, exp, v_x, v_xx, scan_mode="butterfly")
+
+
+def test_halo_schedule_spec_matches_lowering():
+    """The analytic halo contract (payload bytes, ppermute rounds) matches
+    (a) the ValueElement actually exchanged and (b) the lowered HLO of the
+    cross-device schedule. The scaling harness's ICI/DCN latency model
+    consumes this spec — this pins it to the real lowering."""
+    from quattro_tpu.parallel.horizon import (
+        _identity_element,
+        cross_device_exclusive_suffix,
+        halo_schedule_spec,
+    )
+
+    n, shards = 6, 8
+    ident = _identity_element(n, jnp.float32)
+    spec = halo_schedule_spec(n, jnp.float32, shards, mode="tree")
+    # (a) payload = the element's true scalar count (3n^2 + 2n).
+    leaves = jax.tree.tree_leaves(ident) if hasattr(jax.tree, "tree_leaves") else (
+        jax.tree_util.tree_leaves(ident))
+    assert spec["payload_scalars_per_hop"] == sum(int(np.prod(l.shape)) for l in leaves)
+    assert spec["payload_bytes_per_hop"] == spec["payload_scalars_per_hop"] * 4
+    assert spec["rounds"] == 4  # ceil(log2 8) + 1
+
+    # (b) lowered op counts. Returning the full element keeps every leaf
+    # live (no DCE), so tree mode lowers exactly rounds x num_leaves
+    # collective_permutes; ring mode keeps ONE instance per leaf inside the
+    # scan body (executed D-1 times).
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+
+    mesh = make_mesh((1, shards))
+
+    def run(mode):
+        def body(block):
+            idx = jax.lax.axis_index("horizon")
+            # ident must match the per-shard block shape (leading axis 1);
+            # the schedule itself marks it axis-varying where needed.
+            ident_b = jax.tree.map(lambda x: jax.lax.broadcast(x, (1,)), ident)
+            return cross_device_exclusive_suffix(
+                block, "horizon", shards, idx, ident_b, mode=mode,
+            )
+
+        elem_batched = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (shards,) + x.shape) + 0.01, ident
+        )
+        spec_in = jax.tree.map(lambda _: PartitionSpec("horizon"), elem_batched)
+        fn = shard_map(body, mesh=mesh, in_specs=(spec_in,), out_specs=spec_in)
+        return jax.jit(fn).lower(elem_batched).as_text()
+
+    num_leaves = len(leaves)
+    tree_txt = run("tree")
+    assert tree_txt.count("collective_permute") == spec["rounds"] * num_leaves
+    ring_txt = run("ring")
+    assert ring_txt.count("collective_permute") == num_leaves
+
+    ring_spec = halo_schedule_spec(n, jnp.float32, shards, mode="ring")
+    assert ring_spec["rounds"] == shards - 1
+    with pytest.raises(ValueError):
+        halo_schedule_spec(n, jnp.float32, shards, mode="butterfly")
