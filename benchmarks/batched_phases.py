@@ -111,6 +111,21 @@ def bench_shape(batch, horizon, repeats=8):
     out["linesearch"] = _time_pipelined(
         lambda x, u: ls(x0, x, u, k, big_k, cost0), (xs, us), repeats=repeats
     )
+    # Unroll sweep: the phase is per-trip overhead-bound (tiny (B*A, n) rows
+    # per scan step), so unrolling the rollout scan amortizes it with
+    # identical numerics (ILQRConfig.linesearch_unroll).
+    for unroll in (4, 8, 16, 32):
+        ls_u = jax.jit(
+            jax.vmap(
+                lambda x0_, x_, u_, k_, kb_, c_, _u=unroll: line_search(
+                    dyn, cost, fcost, x0_, x_, u_, k_, kb_, c_, alphas, unroll=_u
+                )[4]
+            )
+        )
+        out[f"linesearch_unroll{unroll}"] = _time_pipelined(
+            lambda x, u, _f=ls_u: _f(x0, x, u, k, big_k, cost0), (xs, us),
+            repeats=repeats,
+        )
     out["linesearch_fused"] = _time_pipelined(
         lambda x, u: ls_fused(x0, x, u, k, big_k, cost0), (xs, us), repeats=repeats
     )

@@ -197,7 +197,7 @@ def bench_hybrid_speedup():
     # forward. Uses the own-trained H=256 checkpoint when shipped.
     ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                             "checkpoints")
-    for h in (256, 1024):
+    for h in (256, 512, 1024):
         path = os.path.join(ckpt_dir, f"quadrotor_h{h}_gain.npz")
         if os.path.exists(path):
             systems[f"quadrotor_H{h}"] = dict(

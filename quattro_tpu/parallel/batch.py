@@ -167,7 +167,8 @@ def _batched_ilqr_solve_fused(
         def run_line_search(xs, us, k, big_k, cs):
             return jax.vmap(
                 lambda x0, x, u, kk, kb, c: line_search(
-                    dynamics, cost, final_cost, x0, x, u, kk, kb, c, alphas
+                    dynamics, cost, final_cost, x0, x, u, kk, kb, c, alphas,
+                    unroll=config.linesearch_unroll,
                 )
             )(x0_batch, xs, us, k, big_k, cs)
 

@@ -101,6 +101,13 @@ class ILQRConfig(NamedTuple):
     # Under batched_ilqr_solve's fused backend, "fused" selects the BATCHED
     # rollout kernel (batch on lanes, alphas on sublanes) instead.
     linesearch: str = "xla"
+    # lax.scan unroll factor for the "xla" line-search rollouts: identical
+    # numerics, fewer while-loop trips. Batched solves are per-trip-overhead
+    # bound in this phase (tiny (B*A, n) rows per step); 8 is the measured
+    # sweet spot at the canonical batched shapes (benchmarks/
+    # batched_phases.py sweep). Keep 1 for single-trajectory latency paths
+    # (the fused rollout kernel owns that regime).
+    linesearch_unroll: int = 1
 
 
 # Fail fast on typo'd mode strings at construction rather than deep inside a
@@ -194,6 +201,8 @@ def _backward(config: ILQRConfig):
 
 def _line_search(config: ILQRConfig):
     if config.linesearch == "xla":
+        if config.linesearch_unroll != 1:
+            return partial(line_search, unroll=config.linesearch_unroll)
         return line_search
     if config.linesearch == "fused":
         return line_search_fused

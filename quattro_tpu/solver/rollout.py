@@ -58,10 +58,17 @@ def feedback_rollout(
     k_seq: jnp.ndarray,
     big_k_seq: jnp.ndarray,
     alpha: jnp.ndarray,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Closed-loop rollout ``u_t = u_ref_t + alpha (k_t + K_t (x_t - x_ref_t))``.
 
     Semantics: quattro_ilqr_tf.py:376-390. Returns (x_seq, u_seq, total_cost).
+
+    ``unroll``: ``lax.scan`` unroll factor — identical numerics, fewer loop
+    trips. At batched shapes the per-step tensors are tiny ((B*A, n) rows)
+    and the XLA while-loop's per-trip overhead dominates the phase; unrolling
+    amortizes it (``ILQRConfig.linesearch_unroll`` threads it through the
+    batched solve).
     """
 
     def step(x, inp):
@@ -71,7 +78,9 @@ def feedback_rollout(
         x_next = dynamics(x, u)
         return x_next, (x_next, u)
 
-    _, (xs, us) = jax.lax.scan(step, x0, (x_ref_seq[:-1], u_ref_seq, k_seq, big_k_seq))
+    _, (xs, us) = jax.lax.scan(
+        step, x0, (x_ref_seq[:-1], u_ref_seq, k_seq, big_k_seq), unroll=unroll
+    )
     x_seq = jnp.concatenate([x0[None], xs], axis=0)
     total = trajectory_cost(cost, final_cost, x_seq, us)
     return x_seq, us, total
@@ -88,6 +97,7 @@ def line_search(
     big_k_seq: jnp.ndarray,
     current_cost: jnp.ndarray,
     alphas: jnp.ndarray,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched backtracking line search with first-accept semantics.
 
@@ -95,7 +105,7 @@ def line_search(
     chosen candidate is the FIRST (largest) alpha whose cost does not exceed
     ``current_cost`` — byte-identical accept logic to the reference's
     sequential loop (quattro_ilqr_tf.py:440-451) with none of its sequential
-    latency.
+    latency. ``unroll``: see :func:`feedback_rollout`.
 
     Returns:
         (found, chosen_alpha, new_x_seq, new_u_seq, new_cost); when no
@@ -105,7 +115,8 @@ def line_search(
 
     def rollout(alpha):
         return feedback_rollout(
-            dynamics, cost, final_cost, x0, x_ref_seq, u_ref_seq, k_seq, big_k_seq, alpha
+            dynamics, cost, final_cost, x0, x_ref_seq, u_ref_seq, k_seq,
+            big_k_seq, alpha, unroll=unroll,
         )
 
     cand_x, cand_u, cand_cost = jax.vmap(rollout)(alphas)

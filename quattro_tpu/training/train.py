@@ -50,6 +50,7 @@ class TrainConfig(NamedTuple):
     seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 10
+    verbose: bool = False  # per-epoch loss prints (reference fit prints too)
 
 
 class TrainResult(NamedTuple):
@@ -226,6 +227,9 @@ def train_gain_predictor(
         # single per-epoch batch holds num_rows rows, and dividing by
         # batch_size would silently understate the mean loss.
         train_hist.append(epoch_loss / max(rows_consumed, 1))
+        if config.verbose:
+            print(f"epoch {epoch + 1}/{config.num_epochs}: "
+                  f"train {train_hist[-1]:.6f}", flush=True)
 
         if manager is not None and (epoch + 1) % config.checkpoint_every == 0:
             manager.save(
@@ -338,8 +342,12 @@ def _train_device_resident(
         )
         return jnp.mean((pred - tb) ** 2)
 
+    # The dataset arrays are jit ARGUMENTS, not closure captures: captured
+    # multi-GB device arrays are embedded as lowering constants (jax warns at
+    # 6+ GB and lowering cost scales with them); as arguments they are passed
+    # by reference.
     @jax.jit
-    def run_epoch(p, opt_s, key):
+    def run_epoch(p, opt_s, key, xsrc, kksrc):
         perm_key, scan_key = jax.random.split(key)
         idx = jax.random.permutation(perm_key, num_rows)
         idx = idx[: steps_per_epoch * batch].reshape(steps_per_epoch, batch)
@@ -347,7 +355,7 @@ def _train_device_resident(
         def step(carry, ib):
             p, s, k = carry
             k, dk = jax.random.split(k)
-            xb, pb, tb = norm_batch(x_raw, kk_raw, ib)
+            xb, pb, tb = norm_batch(xsrc, kksrc, ib)
             loss, grads = jax.value_and_grad(loss_fn)(p, xb, pb, tb, dk)
             updates, s = tx.update(grads, s)
             return (optax.apply_updates(p, updates), s, k), loss
@@ -367,9 +375,9 @@ def _train_device_resident(
         eval_idx = jnp.arange(n_eval).reshape(-1, chunk)
 
         @jax.jit
-        def _test_loss(p):
+        def _test_loss(p, xsrc, kksrc):
             def body(_, ib):
-                xb, pb, tb = norm_batch(xt, kt, ib)
+                xb, pb, tb = norm_batch(xsrc, kksrc, ib)
                 pred = module.apply({"params": p}, xb, pb, deterministic=True)
                 return None, jnp.mean((pred - tb) ** 2)
 
@@ -377,7 +385,7 @@ def _train_device_resident(
             return losses.mean()
 
         def full_test_loss(p):
-            return float(_test_loss(p))
+            return float(_test_loss(p, xt, kt))
 
     rng = jax.random.PRNGKey(config.seed)
     best_loss = float("inf")
@@ -401,8 +409,13 @@ def _train_device_resident(
 
     for epoch in range(start_epoch, config.num_epochs):
         epoch_key = jax.random.fold_in(rng, epoch)
-        params, opt_state, mean_loss = run_epoch(params, opt_state, epoch_key)
+        params, opt_state, mean_loss = run_epoch(
+            params, opt_state, epoch_key, x_raw, kk_raw
+        )
         train_hist.append(float(mean_loss))
+        if config.verbose:
+            print(f"epoch {epoch + 1}/{config.num_epochs}: "
+                  f"train {train_hist[-1]:.6f}", flush=True)
 
         if manager is not None and (epoch + 1) % config.checkpoint_every == 0:
             manager.save(

@@ -395,3 +395,26 @@ def test_hybrid_exact_fallback_keeps_wide_dtype():
     assert sol.x_seq.dtype == jnp.float64
     assert sol.u_seq.dtype == jnp.float64
     assert bool(sol.converged)
+
+
+def test_linesearch_unroll_identical_solve():
+    """linesearch_unroll changes scan scheduling only — solutions match the
+    default bit-for-bit (same ops, same order, fewer loop trips)."""
+    from quattro_tpu.solver import ILQRConfig, ilqr_solve
+    from quattro_tpu.systems import cartpole_dynamics, make_discrete
+    from quattro_tpu.solver import make_quadratic_cost, make_quadratic_final_cost
+
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(
+        jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), jnp.zeros(4)
+    )
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), jnp.zeros(4))
+    x0 = jnp.array([0.2, 0.0, 0.3, 0.0])
+    u0 = jnp.zeros((20, 1))
+    base = ilqr_solve(dyn, cost, fcost, x0, u0, ILQRConfig(tol=1e-6, max_iter=10))
+    unrolled = ilqr_solve(
+        dyn, cost, fcost, x0, u0,
+        ILQRConfig(tol=1e-6, max_iter=10, linesearch_unroll=8),
+    )
+    np.testing.assert_array_equal(np.asarray(base.u_seq), np.asarray(unrolled.u_seq))
+    assert int(base.iterations) == int(unrolled.iterations)
