@@ -39,6 +39,11 @@ CARTPOLE_CHECKPOINTS = {
 QUADROTOR_CHECKPOINTS = {
     "model_plant": "checkpoints/quadrotor_gain.npz",
     "mujoco_mismatch": "checkpoints/quadrotor_gain_mismatch.npz",
+    # Round-4 reference-scale run: 2048 LHS inits x 100 MPC steps against the
+    # MuJoCo plant via the 64-lane lockstep collector (612k rows), 200-epoch
+    # device-resident training — the own-built counterpart of the reference's
+    # shipped 616.2k checkpoint at matched data scale.
+    "mujoco_mismatch_xl": "checkpoints/quadrotor_gain_mismatch_xl.npz",
     # The reference's shipped checkpoint (ported weights): trained on ~100x
     # more MuJoCo rows (2000-step sims, 200 epochs) — the data-scale anchor.
     "reference_ported": "ported",
@@ -175,13 +180,25 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--json", default=None)
     parser.add_argument("--system", default=None, choices=["cartpole", "quadrotor"])
+    parser.add_argument("--only", default=None,
+                        help="evaluate just this checkpoint key (others keep "
+                             "their stored rows when merging into --json)")
     args = parser.parse_args()
+
+    if args.only:
+        CARTPOLE_CHECKPOINTS_F = {k: v for k, v in CARTPOLE_CHECKPOINTS.items()
+                                  if k == args.only}
+        QUADROTOR_CHECKPOINTS_F = {k: v for k, v in QUADROTOR_CHECKPOINTS.items()
+                                   if k == args.only}
+    else:
+        CARTPOLE_CHECKPOINTS_F = CARTPOLE_CHECKPOINTS
+        QUADROTOR_CHECKPOINTS_F = QUADROTOR_CHECKPOINTS
 
     out = {}
     if args.system in (None, "cartpole"):
         print("== cartpole ==", flush=True)
         out["cartpole"] = _eval_system(
-            CARTPOLE_CHECKPOINTS, run_one, HELD_OUT_ANGLES, "final_norm"
+            CARTPOLE_CHECKPOINTS_F, run_one, HELD_OUT_ANGLES, "final_norm"
         )
         # Cart-pole extras kept from the round-2 table: median settle step.
         for name, rec in out["cartpole"].items():
@@ -190,7 +207,7 @@ def main():
     if args.system in (None, "quadrotor"):
         print("== quadrotor ==", flush=True)
         out["quadrotor"] = _eval_system(
-            QUADROTOR_CHECKPOINTS, run_one_quadrotor, HELD_OUT_POSES, "final_error"
+            QUADROTOR_CHECKPOINTS_F, run_one_quadrotor, HELD_OUT_POSES, "final_error"
         )
 
     print(json.dumps(out, indent=2))
@@ -202,7 +219,8 @@ def main():
                     merged = json.load(f)
             except (json.JSONDecodeError, OSError):
                 merged = {}
-        merged.update(out)
+        for system, recs in out.items():
+            merged.setdefault(system, {}).update(recs)
         with open(args.json, "w") as f:
             json.dump(merged, f, indent=2)
 

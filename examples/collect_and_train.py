@@ -456,7 +456,7 @@ def main() -> None:
         predictor, train, test,
         TrainConfig(num_epochs=args.epochs, batch_size=args.batch_size,
                     learning_rate=args.learning_rate,
-                    checkpoint_dir=args.checkpoint_dir),
+                    checkpoint_dir=args.checkpoint_dir, verbose=True),
     )
     print(f"trained in {time.time() - t0:.1f}s", flush=True)
 

@@ -27,6 +27,83 @@ jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
+# Fast-lane split (VERDICT r3 weak #7): the full suite is compile-dominated
+# (~30-50 min solo on this 1-core host); `pytest -m "not slow"` runs the
+# core-parity lane in well under 10 min. Tests are marked here, centrally,
+# from the measured full-suite duration table (everything whose contended
+# call time exceeded ~25 s) — one list to maintain instead of scattered
+# decorators. Matching is by (file, test-name prefix) so parametrized cases
+# follow their test.
+_SLOW_TESTS = {
+    "test_parallel.py": (
+        "test_horizon_partitioned_riccati_matches_sequential",
+        "test_tree_and_ring_halo_schedules_agree",
+        "test_podscale_riccati_2d_mesh",
+        "test_horizon_partitioned_riccati_cartpole",
+        "test_batched_solve_matches_single",
+        "test_sharded_traj_solve_matches_batched",
+    ),
+    "test_ilqr.py": (
+        "test_matches_reference_quadrotor_solve",
+        "test_hybrid_exact_fallback_recovers_from_bad_predictor",
+        "test_full_solve_matches_reference",
+        "test_adaptive_regularization_recovers",
+        "test_parallel_riccati_full_solve",
+        "test_hover_recovery_solve",
+        "test_riccati_mode_config",
+        "test_logged_solve_matches_plain_and_reference_logs",
+        "test_hybrid_exact_fallback_keeps_wide_dtype",
+        "test_logged_solve_matches_plain_under_adaptive_reg",
+    ),
+    "test_distributed.py": (
+        "test_two_process_sharded_riccati",
+        "test_two_process_collective",
+    ),
+    "test_mpc_modes.py": (
+        "test_hybrid_quadrotor_mujoco_closed_loop",
+        "test_hybrid_mujoco_closed_loop",
+        "test_blend_mode_cutoff_semantics",
+    ),
+    "test_training.py": (
+        "test_shipped_checkpoints_stabilize_closed_loop",
+    ),
+    "test_scaling.py": ("test_scaling_quick_smoke",),
+    "test_riccati.py": (
+        "test_associative_matches_sequential_random_lq",
+        "test_auto_dispatch_matches_both_forms",
+    ),
+    "test_sim.py": (
+        "test_quadrotor_bridge_measured_params_and_hover",
+    ),
+    "test_fused_riccati.py": (
+        "test_fused_matches_vmapped_scan_f32",
+        "test_fused_matches_vmapped_scan_f64",
+        "test_fused_multi_batch_tile",
+        "test_fused_batched_solve_matches_vmapped_solve",
+        "test_bf16_stream_variant_close_to_f32",
+    ),
+    "test_fused_rollout.py": (
+        "test_fused_linesearch_mode_in_solver",
+        "test_fused_batched_rollouts_match_double_vmap",
+        "test_line_search_batched_fused_matches_vmapped",
+        "test_batched_solver_fused_linesearch_matches_xla",
+    ),
+    "test_fused_solve.py": (
+        "test_fused_solve_lin_block_invariance",
+        "test_fused_solve_zero_iteration_case",
+        "test_fused_solve_matches_ilqr_solve",
+    ),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        names = _SLOW_TESTS.get(item.path.name)
+        if names and any(
+            item.name == n or item.name.startswith(n + "[") for n in names
+        ):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
