@@ -183,6 +183,11 @@ def main() -> None:
                              "(amortizes the dispatch RTT at reference collection "
                              "scale); 0 = sequential host loop")
     parser.add_argument("--max-iter", type=int, default=8)
+    parser.add_argument("--dagger-checkpoint", default=None,
+                        help="with --plant mujoco --parallel-plants: drive the "
+                             "plants with this checkpoint's RAW hybrid MPC "
+                             "(DAgger-style on-policy collection — rows still "
+                             "labeled by the exact solver)")
     parser.add_argument("--compact-iters", type=int, default=None,
                         help="on-device valid-row compaction cap (mean accepted "
                              "iterations per MPC step) for --plant model/randomized; "
@@ -327,12 +332,48 @@ def main() -> None:
             dyn = make_discrete(
                 lambda x, u: quadrotor_dynamics(x, u, measured), 0.01, "rk4"
             )
+        policy = None
+        if args.dagger_checkpoint:
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from quattro_tpu.solver import hybrid_ilqr_solve
+
+            dag_pred = GainPredictor.load(args.dagger_checkpoint)
+            if args.system == "quadrotor":
+                x_ref_pol = _jnp.zeros(12).at[2].set(0.5)
+                offset_pol = _jnp.zeros(12).at[2].set(0.5)
+            else:
+                x_ref_pol = _jnp.zeros(4)
+                offset_pol = _jnp.zeros(4)
+            # Deployment-matched RAW hybrid policy (exact_fallback=False,
+            # deployment tol/max_iter): its closed-loop visitation is the
+            # distribution we want labeled.
+            pol_cfg = ILQRConfig(tol=tol, max_iter=100)
+
+            def one_policy(x, u):
+                return hybrid_ilqr_solve(
+                    dyn, cost, fcost, dag_pred.predict_fn(), dag_pred.prompt_len,
+                    x, u, x_ref_pol, pol_cfg, state_offset=offset_pol,
+                    exact_fallback=False,
+                )
+
+            def policy(xb, uwb):
+                sol = _jax.vmap(one_policy)(xb, uwb)
+                u_next = _jnp.concatenate(
+                    [sol.u_seq[:, 1:], sol.u_seq[:, -1:]], axis=1
+                )
+                return sol.u_seq[:, 0], u_next
+
+            print(f"DAgger policy: RAW hybrid from {args.dagger_checkpoint}",
+                  flush=True)
         dataset = collect_gain_dataset_host_batched(
             plants, dyn, cost, fcost, x0s, horizon, m, args.sim_steps,
             config=solve_config, substeps=substeps,
             compact_iters=args.compact_iters or 3,
             shard_path=args.dataset_out
             if args.dataset_out and args.dataset_out.endswith(".qtshard") else None,
+            policy=policy,
             verbose=True,
         )
     elif args.plant == "mujoco":
@@ -411,6 +452,10 @@ def main() -> None:
         from quattro_tpu.training import save_gain_dataset
 
         save_gain_dataset(args.dataset_out, dataset)
+
+    if args.epochs == 0:
+        print("epochs=0: collection-only run, skipping training", flush=True)
+        return
 
     # 80/20 split, shuffled with a fixed seed (transformer_training.py:45-56).
     if args.device_resident and isinstance(dataset, GainDataset):

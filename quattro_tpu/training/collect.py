@@ -547,9 +547,20 @@ def collect_gain_dataset_host_batched(
     substeps: int = 1,
     compact_iters: int = 3,
     shard_path: Optional[str] = None,
+    policy: Optional[Callable] = None,
     verbose: bool = False,
 ) -> GainDataset:
     """Batched host-loop collection against P EXTERNAL plants in lockstep.
+
+    ``policy``: optional jittable ``(x_batch (P, n), u_warm (P, H, m)) ->
+    (u_applied (P, m), u_warm_next (P, H, m))`` that DRIVES the plants while
+    the exact logging solve still labels every visited state with its
+    iteration rows — DAgger-style on-policy collection. With the RAW hybrid
+    controller as the policy, the rows cover the distribution the deployed
+    hybrid actually visits (including its mistakes), which plain
+    expert-driven sweeps never show the model. ``None`` (default) applies
+    the exact solve's own first control (expert-driven, the reference's
+    collection semantics).
 
     The sequential :func:`collect_gain_dataset_host` pays one device
     round-trip per (initial state, control step) — on a tunnel-attached TPU
@@ -595,8 +606,14 @@ def collect_gain_dataset_host_batched(
     @jax.jit
     def batched_step(x_now, u_warm):
         sol, logs = jax.vmap(solve)(x_now, u_warm)
-        u_next = jnp.concatenate([sol.u_seq[:, 1:], sol.u_seq[:, -1:]], axis=1)
-        return sol.u_seq[:, 0], u_next, (
+        if policy is not None:
+            # The policy drives the plant and owns the warm-start stream;
+            # the exact solve above only labels the visited states.
+            u_applied, u_next = policy(x_now, u_warm)
+        else:
+            u_applied = sol.u_seq[:, 0]
+            u_next = jnp.concatenate([sol.u_seq[:, 1:], sol.u_seq[:, -1:]], axis=1)
+        return u_applied, u_next, (
             logs.x_seq, logs.k_seq, logs.big_k_seq, logs.valid,
         )
 

@@ -601,3 +601,41 @@ def test_device_dataset_from_host_roundtrip(dataset):
     np.testing.assert_array_equal(np.asarray(dev.x_data), dataset.x_data)
     np.testing.assert_array_equal(np.asarray(dev.kk_data), dataset.kk_data)
     assert dev.stats == dataset.stats
+
+
+def test_batched_host_collection_with_policy(problem):
+    """DAgger-style collection: the policy drives the plants (its controls
+    hit the adapters), while rows are still labeled by the exact solver."""
+    from quattro_tpu.training import collect_gain_dataset_host_batched
+
+    dyn, cost, fcost = problem
+    x0s = np.array([[0.2, 0.0, 0.2, 0.0], [-0.15, 0.0, -0.25, 0.0]], np.float32)
+    applied = []
+
+    def tracking_adapter():
+        reset, read, apply, step = _model_plant_adapter(dyn)
+
+        def apply_tracked(u):
+            applied.append(np.asarray(u).copy())
+            apply(u)
+
+        return reset, read, apply_tracked, step
+
+    const_u = 0.123
+
+    def policy(xb, uwb):
+        return jnp.full((xb.shape[0], 1), const_u), uwb
+
+    plants = [tracking_adapter() for _ in range(2)]
+    ds = collect_gain_dataset_host_batched(
+        plants, dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=3,
+        config=ILQRConfig(tol=1e-12, max_iter=2, riccati="seq"),
+        compact_iters=2, policy=policy,
+    )
+    # Every applied control came from the policy, not the expert solve.
+    assert len(applied) == 2 * 3
+    assert all(abs(float(u[0]) - const_u) < 1e-6 for u in applied)
+    # Rows are exact-solver labels over the policy-visited states: finite and
+    # the full fixed iteration budget.
+    assert ds.x_data.shape[0] == 2 * 3 * 2
+    assert np.isfinite(ds.kk_data).all()
