@@ -204,6 +204,11 @@ def main() -> None:
                              "(long runs survive a crash)")
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--learning-rate", type=float, default=1e-3)
+    parser.add_argument("--patience", type=int, default=5,
+                        help="early-stop patience on test loss; >= --epochs "
+                             "disables early stopping (the reference's shipped "
+                             "quadrotor checkpoint trained the full 200 epochs "
+                             "with lr 2e-4, transformer_training.py:59)")
     parser.add_argument("--d-model", type=int, default=128)
     parser.add_argument("--nhead", type=int, default=4)
     parser.add_argument("--layers", type=int, default=3)
@@ -232,6 +237,10 @@ def main() -> None:
                         help="optional dataset dump: .qtshard (native validated shards) or .npz")
     parser.add_argument("--dataset-in", default=None, nargs="+",
                         help="skip collection; train from saved dataset file(s)")
+    parser.add_argument("--max-rows", type=int, default=None,
+                        help="random row subsample cap after loading (HBM budget "
+                             "for the device-resident trainer: ~13 KB/row at the "
+                             "quadrotor shape on a 16 GB chip)")
     args = parser.parse_args()
 
     if args.device_resident:
@@ -315,6 +324,12 @@ def main() -> None:
 
         dataset = load_gain_dataset(args.dataset_in)
         print(f"loaded {dataset.x_data.shape[0]} rows from {args.dataset_in}", flush=True)
+        if args.max_rows and dataset.x_data.shape[0] > args.max_rows:
+            sel = np.random.default_rng(7).choice(
+                dataset.x_data.shape[0], args.max_rows, replace=False
+            )
+            dataset = GainDataset(dataset.x_data[sel], dataset.kk_data[sel])
+            print(f"subsampled to {args.max_rows} rows (--max-rows)", flush=True)
     elif args.plant == "mujoco" and args.parallel_plants:
         from quattro_tpu.training import collect_gain_dataset_host_batched
 
@@ -500,7 +515,7 @@ def main() -> None:
     result = train_gain_predictor(
         predictor, train, test,
         TrainConfig(num_epochs=args.epochs, batch_size=args.batch_size,
-                    learning_rate=args.learning_rate,
+                    learning_rate=args.learning_rate, patience=args.patience,
                     checkpoint_dir=args.checkpoint_dir, verbose=True),
     )
     print(f"trained in {time.time() - t0:.1f}s", flush=True)
