@@ -92,9 +92,10 @@ def main():
         im, ib = int(sm.iterations), int(sb.iterations)
         km, kb = bool(sm.converged), bool(sb.converged)
         rel = abs(cm - cb) / max(abs(cb), 1e-9)
-        row_ok = rel < COST_BAND and abs(im - ib) <= ITER_BAND and (
-            km == kb or rel < COST_BAND
-        )
+        # A converged-flag flip is acceptable by itself ONLY because the cost
+        # band is already enforced (a near-tolerance flip, not a divergence);
+        # the flags are recorded for the artifact but do not gate beyond that.
+        row_ok = rel < COST_BAND and abs(im - ib) <= ITER_BAND
         ok &= row_ok
         rows.append({
             "pose_z_roll": [z, roll],

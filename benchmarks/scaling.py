@@ -74,7 +74,8 @@ def analytic_projection(
     t_best1: float,
     horizon: int,
     n: int,
-    local_batch_rows: int = 1,
+    batch_rows: int = 1,
+    split_rule=None,
     dtype_bytes: int = 4,
     dev_counts=(2, 4, 8, 16, 32, 64),
     mode: str = "tree",
@@ -95,9 +96,19 @@ def analytic_projection(
     ``halo_schedule_spec`` — the same contract the lowering test pins to the
     compiled HLO. Efficiency vs the best single-device implementation is the
     honest number: eff(D) = t_best1 / (D * t(D)).
+
+    ``split_rule(d) -> (traj_axis, horizon_axis)`` describes how ``d``
+    devices are partitioned (default ``(1, d)`` — pure horizon sharding).
+    Rounds come from the HORIZON-axis size only, and the per-hop payload is
+    one value element per LOCALLY-resident trajectory row
+    (``ceil(batch_rows / traj_axis)``) — a 2-D podscale mesh exchanges its
+    batch shard's boundary elements along the horizon axis, never across
+    both axes.
     """
     from quattro_tpu.parallel.horizon import halo_schedule_spec
 
+    if split_rule is None:
+        split_rule = lambda d: (1, d)
     t_combine = t_part1 / max(horizon, 1)
     out = {
         "model": "t(D) = t_part1/D + rounds*(t_combine + hop_lat + payload/bw)",
@@ -107,13 +118,17 @@ def analytic_projection(
         "mode": mode,
         "interconnects": {},
     }
+    dtype = "float32" if dtype_bytes == 4 else "float64"
     for name, params in INTERCONNECTS.items():
-        spec = None
         table = {}
         max80 = 0
         for d in dev_counts:
-            spec = halo_schedule_spec(n, "float32" if dtype_bytes == 4 else "float64", d, mode)
-            payload = spec["payload_bytes_per_hop"] * local_batch_rows
+            t_ax, h_ax = split_rule(d)
+            local_rows = max(-(-batch_rows // t_ax), 1)
+            spec = halo_schedule_spec(n, dtype, h_ax, mode) if h_ax > 1 else {
+                "payload_bytes_per_hop": 0, "rounds": 0,
+            }
+            payload = spec["payload_bytes_per_hop"] * local_rows
             t_comm = spec["rounds"] * (
                 params["latency_s"] + payload / params["bandwidth_bytes_per_s"]
             )
@@ -121,6 +136,7 @@ def analytic_projection(
             eff_best = t_best1 / (d * t_d)
             eff_same = t_part1 / (d * t_d)
             table[str(d)] = {
+                "mesh": {"traj": t_ax, "horizon": h_ax},
                 "rounds": spec["rounds"],
                 "halo_bytes_per_hop": payload,
                 "t_comm_s": t_comm,
@@ -294,11 +310,15 @@ def main():
         times[d] = _time_pipelined(fn, (a, b, *exp), repeats=repeats)
         print(f"podscale D={d} (traj={t_axis} x horizon={h_axis}): {times[d]*1e3:.2f} ms", flush=True)
     out["podscale_scaling"] = efficiency_table(times, block_nnz(batch, horizon), t_best1)
-    # 2-D mesh projection: the halo payload scales with the LOCAL batch
-    # rows riding each horizon hop (traj axis fixed at the harness split).
+    # 2-D mesh projection with the harness's own device split rule: rounds
+    # from the horizon-axis size, payload from the locally-resident batch
+    # shard riding each horizon hop.
+    def pod_split(d):
+        h_ax = 1 if d < 4 else 2 if d < 16 else 4
+        return d // h_ax, h_ax
+
     out["podscale_scaling"]["analytic_projection"] = analytic_projection(
-        times[1], t_best1, horizon, n,
-        local_batch_rows=max(batch // max(dev_counts[-1] // 4, 1), 1),
+        times[1], t_best1, horizon, n, batch_rows=batch, split_rule=pod_split,
     )
 
     print(json.dumps(out, indent=2))

@@ -243,6 +243,10 @@ def main() -> None:
                              "quadrotor shape on a 16 GB chip)")
     args = parser.parse_args()
 
+    if args.dagger_checkpoint and not (args.plant == "mujoco" and args.parallel_plants):
+        raise SystemExit("--dagger-checkpoint requires --plant mujoco with "
+                         "--parallel-plants N (the batched lockstep collector "
+                         "is the only policy-driven path)")
     if args.device_resident:
         if args.plant == "mujoco" and not args.parallel_plants:
             raise SystemExit("--device-resident requires an on-device plant "
@@ -374,11 +378,10 @@ def main() -> None:
                 )
 
             def policy(xb, uwb):
+                from quattro_tpu.control.mpc import shift_warm_start
+
                 sol = _jax.vmap(one_policy)(xb, uwb)
-                u_next = _jnp.concatenate(
-                    [sol.u_seq[:, 1:], sol.u_seq[:, -1:]], axis=1
-                )
-                return sol.u_seq[:, 0], u_next
+                return sol.u_seq[:, 0], _jax.vmap(shift_warm_start)(sol.u_seq)
 
             print(f"DAgger policy: RAW hybrid from {args.dagger_checkpoint}",
                   flush=True)

@@ -186,6 +186,10 @@ def _compact_valid_rows(x_log, k_log, big_k_log, valid, *, cap, flatten):
     kkf = jnp.concatenate([kf[..., None], bf], axis=-1).reshape(
         kf.shape[0], kf.shape[1], -1
     )
+    # A cap beyond the log capacity (compact_iters > max_iter) can't yield
+    # more rows than exist — clamp, or the gather comes up short of `cap`
+    # and the flatten reshape fails inside jit.
+    cap = min(cap, int(vf.shape[0]))
     # Stable sort on ~valid: valid rows first, original order kept.
     order = jnp.argsort(jnp.logical_not(vf))[:cap]
     if flatten:
@@ -612,7 +616,7 @@ def collect_gain_dataset_host_batched(
             u_applied, u_next = policy(x_now, u_warm)
         else:
             u_applied = sol.u_seq[:, 0]
-            u_next = jnp.concatenate([sol.u_seq[:, 1:], sol.u_seq[:, -1:]], axis=1)
+            u_next = jax.vmap(shift_warm_start)(sol.u_seq)
         return u_applied, u_next, (
             logs.x_seq, logs.k_seq, logs.big_k_seq, logs.valid,
         )

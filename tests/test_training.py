@@ -639,3 +639,17 @@ def test_batched_host_collection_with_policy(problem):
     # the full fixed iteration budget.
     assert ds.x_data.shape[0] == 2 * 3 * 2
     assert np.isfinite(ds.kk_data).all()
+
+
+def test_compact_cap_beyond_capacity_clamps(problem):
+    """compact_iters > max_iter: the device-resident cap clamps to the log
+    capacity instead of crashing the gather+reshape inside jit."""
+    dyn, cost, fcost = problem
+    x0s = jnp.array([[0.2, 0.0, 0.3, 0.0], [0.1, 0.0, -0.2, 0.0]], jnp.float32)
+    ds = collect_gain_dataset(
+        dyn, cost, fcost, x0s, HORIZON, 1, sim_steps=3,
+        config=ILQRConfig(tol=1e-1, max_iter=4),
+        compact_iters=10, device_resident=True,
+    )
+    assert ds.stats.rows_dropped == 0
+    assert ds.x_data.shape[0] == ds.stats.rows_kept
