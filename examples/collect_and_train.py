@@ -328,6 +328,13 @@ def main() -> None:
 
         dataset = load_gain_dataset(args.dataset_in)
         print(f"loaded {dataset.x_data.shape[0]} rows from {args.dataset_in}", flush=True)
+        # Non-finite rows (e.g. labels solved on a diverged on-policy lane)
+        # poison the z-score normalizer: one NaN makes every feature NaN.
+        finite = (np.isfinite(dataset.x_data).all(axis=(1, 2))
+                  & np.isfinite(dataset.kk_data).all(axis=(1, 2)))
+        if not finite.all():
+            print(f"dropping {int((~finite).sum())} non-finite rows", flush=True)
+            dataset = GainDataset(dataset.x_data[finite], dataset.kk_data[finite])
         if args.max_rows and dataset.x_data.shape[0] > args.max_rows:
             sel = np.random.default_rng(7).choice(
                 dataset.x_data.shape[0], args.max_rows, replace=False
