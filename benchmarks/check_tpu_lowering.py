@@ -117,6 +117,13 @@ def main() -> int:
         lambda aa, bb: riccati_backward_batched_fused(aa, bb, exp_b, vx_b, vxx_b)[0],
         a_b, b_b,
     )
+    check(
+        f"riccati_backward_batched_fused B{batch}xH{horizon} bf16-stream",
+        lambda aa, bb: riccati_backward_batched_fused(
+            aa, bb, exp_b, vx_b, vxx_b, stream_dtype=jnp.bfloat16
+        )[0],
+        a_b, b_b,
+    )
 
     # Batched fused line-search rollout at both batched-regime shapes.
     from quattro_tpu.ops.fused_rollout import fused_feedback_rollouts_batched

@@ -199,3 +199,28 @@ def test_fused_riccati_mode_in_solver():
     assert int(got.iterations) == int(ref.iterations)
     np.testing.assert_allclose(float(got.cost), float(ref.cost), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(got.u_seq), np.asarray(ref.u_seq), atol=1e-8)
+
+
+def test_bf16_stream_variant_close_to_f32():
+    """stream_dtype=bf16 quantizes the streamed stage inputs only: gains stay
+    within the bf16 input-mantissa error band of the f32 kernel; carry and
+    outputs remain f32."""
+    batch, horizon, n, m = 4, 24, 6, 2
+    a, b, exp, v_x, v_xx = _random_problem(batch, horizon, n, m, jnp.float32, seed=3)
+    k32, big_k32 = riccati_backward_batched_fused(
+        a, b, exp, v_x, v_xx, 1e-6, interpret=True
+    )
+    k16, big_k16 = riccati_backward_batched_fused(
+        a, b, exp, v_x, v_xx, 1e-6, interpret=True, stream_dtype=jnp.bfloat16
+    )
+    assert k16.dtype == jnp.float32 and big_k16.dtype == jnp.float32
+    # Different (quantized inputs) but close: bf16 has ~2^-8 relative
+    # mantissa, amplified mildly by the recursion.
+    scale = float(jnp.max(jnp.abs(k32)))
+    err = float(jnp.max(jnp.abs(k16 - k32))) / scale
+    assert err < 0.05, err
+    errK = float(jnp.max(jnp.abs(big_k16 - big_k32))) / float(
+        jnp.max(jnp.abs(big_k32))
+    )
+    assert errK < 0.05, errK
+    assert err > 0.0  # actually quantized, not a silent no-op
