@@ -204,6 +204,10 @@ def main() -> None:
                              "(long runs survive a crash)")
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--learning-rate", type=float, default=1e-3)
+    parser.add_argument("--lr-schedule", default="constant",
+                        choices=["constant", "cosine"],
+                        help="'constant' = reference fixed-lr Adam; 'cosine' "
+                             "decays to ~0 over the run (large-dataset runs)")
     parser.add_argument("--patience", type=int, default=5,
                         help="early-stop patience on test loss; >= --epochs "
                              "disables early stopping (the reference's shipped "
@@ -526,6 +530,7 @@ def main() -> None:
         predictor, train, test,
         TrainConfig(num_epochs=args.epochs, batch_size=args.batch_size,
                     learning_rate=args.learning_rate, patience=args.patience,
+                    lr_schedule=args.lr_schedule,
                     checkpoint_dir=args.checkpoint_dir, verbose=True),
     )
     print(f"trained in {time.time() - t0:.1f}s", flush=True)

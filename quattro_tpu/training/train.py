@@ -51,6 +51,23 @@ class TrainConfig(NamedTuple):
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 10
     verbose: bool = False  # per-epoch loss prints (reference fit prints too)
+    # "constant" (reference semantics: fixed-lr Adam, transformer_ilqr.py:141)
+    # or "cosine": cosine decay from learning_rate to ~0 over the full run —
+    # helps the larger r4 datasets keep improving past the fixed-lr plateau.
+    lr_schedule: str = "constant"
+
+
+def _make_optimizer(config: "TrainConfig", steps_per_epoch: int):
+    """Adam with the configured LR schedule ("constant" = reference fixed-lr
+    semantics; "cosine" decays to ~0 over the full configured run)."""
+    if config.lr_schedule == "constant":
+        return optax.adam(config.learning_rate)
+    if config.lr_schedule == "cosine":
+        total = max(steps_per_epoch * config.num_epochs, 1)
+        return optax.adam(optax.cosine_decay_schedule(config.learning_rate, total))
+    raise ValueError(
+        f"Unknown lr_schedule: {config.lr_schedule!r} (constant|cosine)"
+    )
 
 
 class TrainResult(NamedTuple):
@@ -144,7 +161,7 @@ def train_gain_predictor(
 
     module = predictor.module
     params = predictor.params
-    tx = optax.adam(config.learning_rate)
+    tx = _make_optimizer(config, steps_per_epoch)
     opt_state = tx.init(params)
     if mesh is not None:
         params = jax.device_put(params, replicated)
@@ -326,7 +343,7 @@ def _train_device_resident(
 
     module = predictor.module
     params = predictor.params
-    tx = optax.adam(config.learning_rate)
+    tx = _make_optimizer(config, steps_per_epoch)
     opt_state = tx.init(params)
 
     def norm_batch(xsrc, kksrc, ib):
