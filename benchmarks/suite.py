@@ -401,12 +401,17 @@ def bench_pod_scale():
     def run_chunk(name, chunk):
         n_chunks = total_traj // chunk
         a, b, exp, v_x, v_xx = random_lq_problem(chunk, horizon, n, m)
-        if name == "fused":
+        if name in ("fused", "fused_bf16"):
             v_x_b = jnp.broadcast_to(v_x, (chunk, n))
             v_xx_b = jnp.broadcast_to(v_xx, (chunk, n, n))
+            # fused_bf16: the r4 tile-sweep winner — stage inputs streamed
+            # bf16 with f32 carry/outputs, tile_b=256/block_t=4 (opt-in:
+            # ~1e-3 relative gain error, tests/test_fused_riccati.py).
+            kw = (dict(stream_dtype=jnp.bfloat16, tile_b=256, block_t=4)
+                  if name == "fused_bf16" else {})
             fn = jax.jit(
-                lambda aa, bb, ee, _vx=v_x_b, _vxx=v_xx_b:
-                riccati_backward_batched_fused(aa, bb, ee, _vx, _vxx)[0]
+                lambda aa, bb, ee, _vx=v_x_b, _vxx=v_xx_b, _kw=kw:
+                riccati_backward_batched_fused(aa, bb, ee, _vx, _vxx, **_kw)[0]
             )
         else:
             fn = jax.jit(
@@ -429,6 +434,10 @@ def bench_pod_scale():
         }
 
     results["fused"] = run_chunk("fused", 512)
+    try:
+        results["fused_bf16_stream"] = run_chunk("fused_bf16", 512)
+    except Exception as e:
+        results["fused_bf16_stream"] = {"error": type(e).__name__}
     scan_sweep = {}
     for chunk in (64, 128, 256):
         try:

@@ -54,24 +54,37 @@ def main():
         a, b, exp, v_x, v_xx = random_lq_problem(batch, horizon, n, m)
         v_x_b = jnp.broadcast_to(v_x, (batch, n))
         v_xx_b = jnp.broadcast_to(v_xx, (batch, n, n))
-        for tile_b, block_t in ((128, 8), (256, 8), (256, 16), (512, 4)):
+        # (tile_b, block_t, stream_dtype): wider lane tiles fill VPU pipeline
+        # bubbles (the body is dependency-chain latency-bound, not
+        # throughput-bound), smaller block_t buys the VMEM back, and bf16
+        # streaming halves input VMEM+HBM so wide tiles fit.
+        configs = [
+            (128, 8, None), (128, 16, None), (256, 8, None), (256, 4, None),
+            (256, 2, None), (512, 4, None), (512, 2, None),
+            (128, 8, "bf16"), (256, 8, "bf16"), (256, 4, "bf16"),
+            (512, 4, "bf16"), (512, 2, "bf16"),
+        ]
+        for tile_b, block_t, stream in configs:
             if tile_b > batch:
                 continue
+            sd = jnp.bfloat16 if stream == "bf16" else None
             fn = jax.jit(
-                lambda aa, bb, ee, _t=tile_b, _k=block_t: riccati_backward_batched_fused(
-                    aa, bb, ee, v_x_b, v_xx_b, tile_b=_t, block_t=_k
+                lambda aa, bb, ee, _t=tile_b, _k=block_t, _s=sd: riccati_backward_batched_fused(
+                    aa, bb, ee, v_x_b, v_xx_b, tile_b=_t, block_t=_k, stream_dtype=_s
                 )[0]
             )
+            key = f"B{batch}_tile{tile_b}_bt{block_t}" + (f"_{stream}" if stream else "")
             try:
                 sec = _time_pipelined(lambda *xs, _f=fn: _f(*xs), (a, b, exp), repeats=8)
             except Exception as e:  # VMEM OOM and Mosaic limits surface here
-                out[f"B{batch}_tile{tile_b}_bt{block_t}"] = {"error": str(e)[:200]}
+                out[key] = {"error": str(e)[:200]}
+                print(json.dumps({key: out[key]}), flush=True)
                 continue
-            out[f"B{batch}_tile{tile_b}_bt{block_t}"] = {
+            out[key] = {
                 "seconds": sec,
                 "block_nnz_per_sec": block_nnz(batch, horizon) / sec,
             }
-            print(json.dumps({f"B{batch}_tile{tile_b}_bt{block_t}": out[f"B{batch}_tile{tile_b}_bt{block_t}"]}), flush=True)
+            print(json.dumps({key: out[key]}), flush=True)
     print(json.dumps(out, indent=2))
 
 

@@ -65,8 +65,17 @@ def riccati_backward_batched_fused(
     interpret: bool = False,
     tile_b: int = _LANE,
     block_t: int = 8,
+    stream_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused backward pass over an explicit trajectory-batch axis.
+
+    ``stream_dtype`` (e.g. ``jnp.bfloat16``): store and stream the per-stage
+    inputs (A, B, cost expansion) in a narrower dtype, converting to the
+    carry dtype after the VMEM load. The recursion carry (V_x, V_xx), all
+    arithmetic, and the outputs stay in ``a_seq.dtype`` — this quantizes the
+    INPUTS only. Halves the input VMEM footprint (wider batch tiles fit) and
+    HBM traffic; costs ~1e-3 relative error on the gains (the bf16 mantissa
+    of the stage data), measured in tests/test_fused_riccati.py. Opt-in.
 
     Returns (k_seq (B, H, m), big_k_seq (B, H, m, n)).
     """
@@ -130,17 +139,23 @@ def riccati_backward_batched_fused(
     def vec(x):  # (B, H, d) -> (H, d, B)
         return jnp.transpose(x, (1, 2, 0))
 
-    a_cols = cols(a_seq)
-    at_cols = rows(a_seq)  # columns of A^T
-    b_cols = cols(b_seq)  # (H, m, n, B)
-    bt_cols = rows(b_seq)  # (H, n, m, B): bt_cols[t, k] = column k of B^T = (m, B)
-    lxx_cols = cols(cost_exp.l_xx)  # symmetric
-    lux_cols = cols(cost_exp.l_ux)  # (H, n, m, B): columns of l_ux (m x n)
-    luxt_cols = rows(cost_exp.l_ux)  # (H, m, n, B): columns of l_ux^T
-    luu_cols = cols(cost_exp.l_uu)  # (H, m, m, B), symmetric
-    lx_v = vec(cost_exp.l_x)  # (H, n, B)
-    lu_v = vec(cost_exp.l_u)  # (H, m, B)
-    vxf = v_x_final.T  # (n, B)
+    if stream_dtype is not None and jnp.dtype(stream_dtype) != jnp.dtype(dtype):
+        narrow = lambda x: x.astype(stream_dtype)
+    else:
+        stream_dtype = None
+        narrow = lambda x: x
+
+    a_cols = narrow(cols(a_seq))
+    at_cols = narrow(rows(a_seq))  # columns of A^T
+    b_cols = narrow(cols(b_seq))  # (H, m, n, B)
+    bt_cols = narrow(rows(b_seq))  # (H, n, m, B): bt_cols[t, k] = col k of B^T
+    lxx_cols = narrow(cols(cost_exp.l_xx))  # symmetric
+    lux_cols = narrow(cols(cost_exp.l_ux))  # (H, n, m, B): columns of l_ux
+    luxt_cols = narrow(rows(cost_exp.l_ux))  # (H, m, n, B): columns of l_ux^T
+    luu_cols = narrow(cols(cost_exp.l_uu))  # (H, m, m, B), symmetric
+    lx_v = narrow(vec(cost_exp.l_x))  # (H, n, B)
+    lu_v = narrow(vec(cost_exp.l_u))  # (H, m, B)
+    vxf = v_x_final.T  # (n, B) — carry dtype (seeds the recursion)
     vxxf = jnp.transpose(v_xx_final, (2, 1, 0))  # (n, n, B) columns (symmetric)
 
     n_btiles = b_pad // tile_b
@@ -165,16 +180,20 @@ def riccati_backward_batched_fused(
         # ~8x slower for no measurable runtime win.
         def step(i, _):
             tt = block_t - 1 - i
-            av = a_r[tt]  # (n, n, B): av[j][k] = A[k, j]
-            atv = at_r[tt]  # (n, n, B): atv[k] = At[:, k] = A[k, :]
-            bv = b_r[tt]  # (m, n, B): bv[j][k] = B[k, j]
-            btv = bt_r[tt]  # (n, m, B): btv[k] = Bt[:, k] (m, B)
-            lxxv = lxx_r[tt]
-            luxv = lux_r[tt]  # (n, m, B) cols of (m x n) l_ux
-            luxtv = luxt_r[tt]  # (m, n, B) cols of l_ux^T
-            luuv = luu_r[tt]
-            lxv = lx_r[tt]  # (n, B)
-            luv = lu_r[tt]  # (m, B)
+            # One widening convert per block read when streaming narrow
+            # (stream_dtype): arithmetic and the carry stay in `dtype`.
+            up = (lambda x: x.astype(dtype)) if stream_dtype is not None else (
+                lambda x: x)
+            av = up(a_r[tt])  # (n, n, B): av[j][k] = A[k, j]
+            atv = up(at_r[tt])  # (n, n, B): atv[k] = At[:, k] = A[k, :]
+            bv = up(b_r[tt])  # (m, n, B): bv[j][k] = B[k, j]
+            btv = up(bt_r[tt])  # (n, m, B): btv[k] = Bt[:, k] (m, B)
+            lxxv = up(lxx_r[tt])
+            luxv = up(lux_r[tt])  # (n, m, B) cols of (m x n) l_ux
+            luxtv = up(luxt_r[tt])  # (m, n, B) cols of l_ux^T
+            luuv = up(luu_r[tt])
+            lxv = up(lx_r[tt])  # (n, B)
+            luv = up(lu_r[tt])  # (m, B)
             vx = vx_s[...]  # (n, B)
             vxx = vxx_s[...]  # (n, n, B) columns
 
@@ -210,14 +229,20 @@ def riccati_backward_batched_fused(
             qu = luv + sum(btv[k] * vx[k] for k in range(n))
 
             # Cholesky of Q_uu + reg I over lanes (unrolled, m tiny).
+            # rsqrt + reciprocal-multiplies instead of sqrt + divides: the
+            # m-deep factor chain and every solve's 2m-deep substitution
+            # chains sit on the step's CRITICAL PATH (the recursion carry
+            # serializes steps, and divides are the longest VPU ops in the
+            # body); one reciprocal per pivot replaces 2m(n+1) divides.
             chol = [[None] * m for _ in range(m)]
+            inv_diag = [None] * m
             for j in range(m):
                 diag = quu[j][j] + reg_c
                 for t in range(j):
                     diag = diag - chol[j][t] * chol[j][t]
-                ljj = jnp.sqrt(diag)
-                chol[j][j] = ljj
-                inv_ljj = 1.0 / ljj
+                inv_ljj = jax.lax.rsqrt(diag)
+                chol[j][j] = diag * inv_ljj  # = sqrt(diag)
+                inv_diag[j] = inv_ljj
                 for i in range(j + 1, m):
                     off = quu[j][i]  # Q_uu symmetric: [i, j] = cols[j][i]
                     for t in range(j):
@@ -230,13 +255,13 @@ def riccati_backward_batched_fused(
                     acc = rhs_rows[i]
                     for t in range(i):
                         acc = acc - chol[i][t] * ys[t]
-                    ys.append(acc / chol[i][i])
+                    ys.append(acc * inv_diag[i])
                 xs = [None] * m
                 for i in reversed(range(m)):
                     acc = ys[i]
                     for t in range(i + 1, m):
                         acc = acc - chol[t][i] * xs[t]
-                    xs[i] = acc / chol[i][i]
+                    xs[i] = acc * inv_diag[i]
                 return xs
 
             # G[:, j] = solve(Q_ux[:, j]); g = solve(Q_u).
@@ -373,15 +398,18 @@ def riccati_step_tiles(a, at, b, bt, lx, lu, lxx, luu, lux, luxt, vx, vxx,
     qx = lx + dot(vx, a)  # (1, n)
     qu = lu + dot(vx, b)  # (1, m)
 
-    # Unrolled Cholesky of Q_uu + reg I; rows as (1, .) vectors.
+    # Unrolled Cholesky of Q_uu + reg I; rows as (1, .) vectors. rsqrt +
+    # reciprocal-multiplies (see the batched kernel): divides are the
+    # longest chained ops on the recursion's critical path.
     chol = [[None] * m for _ in range(m)]
+    inv_diag = [None] * m
     for j in range(m):
         diag = quu[j, j] + reg_c
         for s in range(j):
             diag = diag - chol[j][s] * chol[j][s]
-        ljj = jnp.sqrt(diag)
-        chol[j][j] = ljj
-        inv_ljj = 1.0 / ljj
+        inv_ljj = jax.lax.rsqrt(diag)
+        chol[j][j] = diag * inv_ljj  # = sqrt(diag)
+        inv_diag[j] = inv_ljj
         for i2 in range(j + 1, m):
             off = quu[j, i2]  # symmetric
             for s in range(j):
@@ -396,13 +424,13 @@ def riccati_step_tiles(a, at, b, bt, lx, lu, lxx, luu, lux, luxt, vx, vxx,
         acc = rhs[i2 : i2 + 1, :]
         for s in range(i2):
             acc = acc - chol[i2][s] * ys[s]
-        ys.append(acc / chol[i2][i2])
+        ys.append(acc * inv_diag[i2])
     xs = [None] * m
     for i2 in reversed(range(m)):
         acc = ys[i2]
         for s in range(i2 + 1, m):
             acc = acc - chol[s][i2] * xs[s]
-        xs[i2] = acc / chol[i2][i2]
+        xs[i2] = acc * inv_diag[i2]
     sol = jnp.concatenate(xs, axis=0)  # (m, 1+n) = [g_u | G]
     g_u = sol[:, :1]  # (m, 1)
     g_x = sol[:, 1:]  # (m, n)
