@@ -87,9 +87,9 @@ def batched_ilqr_solve(
     iteration, with rare per-lane divergence after 6 — both results are
     valid solver trajectories).
     """
-    if riccati_backend not in ("auto", "fused", "vmap"):
+    if riccati_backend not in ("auto", "fused", "fused_bf16", "vmap"):
         raise ValueError(f"Unknown riccati_backend: {riccati_backend!r}")
-    if riccati_backend == "fused":
+    if riccati_backend in ("fused", "fused_bf16"):
         # Forcing the kernel must be as loud as the auto dispatch is careful:
         # a pinned algorithm knob would be silently substituted (the fused
         # body always runs the sequential update law + XLA line search), and
@@ -115,15 +115,20 @@ def batched_ilqr_solve(
                 "riccati_backend='fused' on TPU requires float32 data "
                 f"(got {x0_batch.dtype})"
             )
-    use_fused = riccati_backend == "fused" or (
+    use_fused = riccati_backend in ("fused", "fused_bf16") or (
         riccati_backend == "auto" and _fused_backend_applies(config, x0_batch, u_init_batch)
     )
     if use_fused:
         # Off-TPU a forced "fused" runs the kernel in interpret mode (slow —
         # for tests), matching every other fused entry point.
+        # "fused_bf16": stage inputs streamed bf16 with f32 carry/arithmetic
+        # — 1.33x at pod scale for a ~1e-3 relative gain-error band
+        # (BASELINE.md r4 tile sweep). NEVER auto-selected: quantized inputs
+        # are an accuracy opt-in.
         return _batched_ilqr_solve_fused(
             dynamics, cost, final_cost, x0_batch, u_init_batch, config,
             interpret=jax.default_backend() != "tpu",
+            stream_dtype=jnp.bfloat16 if riccati_backend == "fused_bf16" else None,
         )
     if config.parallel_riccati is None and config.riccati == "auto":
         config = config._replace(batch_hint=max(config.batch_hint, x0_batch.shape[0]))
@@ -139,6 +144,7 @@ def _batched_ilqr_solve_fused(
     u_init_batch: jnp.ndarray,
     config: ILQRConfig,
     interpret: bool = False,
+    stream_dtype=None,
 ) -> ILQRSolution:
     """Explicitly-batched iLQR loop around the fused backward-pass kernel.
 
@@ -182,7 +188,8 @@ def _batched_ilqr_solve_fused(
         exp = jax.vmap(lambda x, u: quadratize_cost(cost, x, u))(xs, us)
         fexp = jax.vmap(lambda x: quadratize_final_cost(final_cost, x))(xs[:, -1])
         k, big_k = riccati_backward_batched_fused(
-            a, b, exp, fexp.v_x, fexp.v_xx, config.reg, interpret=interpret
+            a, b, exp, fexp.v_x, fexp.v_xx, config.reg, interpret=interpret,
+            stream_dtype=stream_dtype,
         )
         found, _, new_x, new_u, new_cost = run_line_search(xs, us, k, big_k, cs)
 

@@ -224,3 +224,36 @@ def test_bf16_stream_variant_close_to_f32():
     )
     assert errK < 0.05, errK
     assert err > 0.0  # actually quantized, not a silent no-op
+
+
+def test_fused_bf16_backend_close_to_fused():
+    """riccati_backend='fused_bf16' (opt-in quantized input streaming) solves
+    within the bf16 band of the exact fused backend and is never
+    auto-selected."""
+    from quattro_tpu.parallel import batched_ilqr_solve
+    from quattro_tpu.solver import ILQRConfig, make_quadratic_cost, make_quadratic_final_cost
+    from quattro_tpu.systems import cartpole_dynamics, make_discrete
+
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(
+        jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), jnp.zeros(4)
+    )
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), jnp.zeros(4))
+    x0s = jnp.asarray(
+        np.stack([[0.2, 0, 0.3, 0], [-0.1, 0, -0.2, 0]]), jnp.float32
+    )
+    u0s = jnp.zeros((2, 12, 1), jnp.float32)
+    cfg = ILQRConfig(tol=1e-12, max_iter=2)
+    exact = batched_ilqr_solve(dyn, cost, fcost, x0s, u0s, cfg, riccati_backend="fused")
+    quant = batched_ilqr_solve(
+        dyn, cost, fcost, x0s, u0s, cfg, riccati_backend="fused_bf16"
+    )
+    rel = np.abs(np.asarray(quant.cost) - np.asarray(exact.cost)) / np.abs(
+        np.asarray(exact.cost)
+    )
+    assert rel.max() < 0.05, rel
+    with pytest.raises(ValueError):
+        batched_ilqr_solve(
+            dyn, cost, fcost, x0s, u0s, ILQRConfig(adaptive_reg=True),
+            riccati_backend="fused_bf16",
+        )
