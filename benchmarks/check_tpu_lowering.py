@@ -125,6 +125,35 @@ def main() -> int:
         a_b, b_b,
     )
 
+    # batch2d fused backward (batch on sublanes AND lanes, r5) at the wide
+    # chunk shapes it dispatches for.
+    from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused2d
+
+    for batch2d, ts in ((512, 4), (1024, 8)):
+        a2 = jnp.broadcast_to(jnp.eye(n) * 0.99, (batch2d, 64, n, n))
+        b2 = jnp.broadcast_to(jnp.ones((n, m)) * 0.01, (batch2d, 64, n, m))
+        exp2 = jax.tree_util.tree_map(
+            lambda t: jnp.broadcast_to(t[None, :64], (batch2d, 64) + t.shape[1:]),
+            exp,
+        )
+        vx2 = jnp.broadcast_to(fexp.v_x, (batch2d, n))
+        vxx2 = jnp.broadcast_to(fexp.v_xx, (batch2d, n, n))
+        check(
+            f"riccati_backward_batched_fused2d B{batch2d} ts{ts}",
+            lambda aa, bb, _e=exp2, _vx=vx2, _vxx=vxx2, _t=ts: riccati_backward_batched_fused2d(
+                aa, bb, _e, _vx, _vxx, tile_s=_t, block_t=2
+            )[0],
+            a2, b2,
+        )
+        check(
+            f"riccati_backward_batched_fused2d B{batch2d} ts{ts} bf16-stream",
+            lambda aa, bb, _e=exp2, _vx=vx2, _vxx=vxx2, _t=ts: riccati_backward_batched_fused2d(
+                aa, bb, _e, _vx, _vxx, tile_s=_t, block_t=4,
+                stream_dtype=jnp.bfloat16,
+            )[0],
+            a2, b2,
+        )
+
     # Batched fused line-search rollout at both batched-regime shapes.
     from quattro_tpu.ops.fused_rollout import fused_feedback_rollouts_batched
 
@@ -140,6 +169,15 @@ def main() -> int:
         check(
             f"fused_feedback_rollouts_batched B{batch}xH{horizon}",
             lambda xb, ub, _xr=xref_b, _k=k_b, _bk=bigk_b: fused_feedback_rollouts_batched(
+                dyn, xb, _xr, ub, _k, _bk, alphas
+            )[0],
+            x0_b, uref_b,
+        )
+        from quattro_tpu.ops.fused_rollout import fused_feedback_rollouts_batched2d
+
+        check(
+            f"fused_feedback_rollouts_batched2d B{batch}xH{horizon}",
+            lambda xb, ub, _xr=xref_b, _k=k_b, _bk=bigk_b: fused_feedback_rollouts_batched2d(
                 dyn, xb, _xr, ub, _k, _bk, alphas
             )[0],
             x0_b, uref_b,

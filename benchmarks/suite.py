@@ -96,10 +96,23 @@ def random_lq_problem(batch, horizon, n, m, key=None, dtype=jnp.float32):
     a = jnp.eye(n, dtype=dtype) + 0.01 * jax.random.normal(ks[0], (*shape, n, n), dtype)
     b = 0.05 * jax.random.normal(ks[1], (*shape, n, m), dtype)
     w = jax.random.normal(ks[2], (*shape, n, n), dtype)
+    if batch > 64 and batch % 64 == 0 and batch * horizon >= 1 << 19:
+        # The one-shot einsum's (B, H, n, n) dot temp gets tile-padded on
+        # TPU (~14x for n=12: both trailing dims pad toward (8, 128)) and
+        # OOMs HBM at the widest shapes (first hit: B=1024 x H=1024); map
+        # over 64-row batch chunks so the live temp stays ~0.5 GB. Chunks
+        # must be COARSE: a per-row lax.map measured ~0.36 s/step of
+        # dispatch overhead on this rig (512 steps = 3 min for the gen).
+        gram = jax.lax.map(
+            lambda wb: jnp.einsum("...ij,...kj->...ik", wb, wb),
+            w.reshape(batch // 64, 64, *w.shape[1:]),
+        ).reshape(batch, *w.shape[1:])
+    else:
+        gram = jnp.einsum("...ij,...kj->...ik", w, w)
     exp = CostExpansion(
         l_x=jax.random.normal(ks[3], (*shape, n), dtype),
         l_u=jax.random.normal(ks[4], (*shape, m), dtype),
-        l_xx=0.1 * jnp.einsum("...ij,...kj->...ik", w, w) + 0.1 * jnp.eye(n, dtype=dtype),
+        l_xx=0.1 * gram + 0.1 * jnp.eye(n, dtype=dtype),
         l_uu=jnp.broadcast_to(jnp.eye(m, dtype=dtype), (*shape, m, m)),
         l_ux=0.01 * jax.random.normal(ks[5], (*shape, m, n), dtype),
     )
@@ -382,7 +395,10 @@ def bench_pod_scale():
     vs the vmapped sequential scan. Metric: block-nnz/s over the aggregate
     4096 x 1024 KKT factorization.
     """
-    from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused
+    from quattro_tpu.ops.fused_riccati import (
+        riccati_backward_batched_fused,
+        riccati_backward_batched_fused2d,
+    )
     from quattro_tpu.solver.riccati import riccati_backward
 
     n, m, horizon = 12, 4, 1024
@@ -401,17 +417,30 @@ def bench_pod_scale():
     def run_chunk(name, chunk):
         n_chunks = total_traj // chunk
         a, b, exp, v_x, v_xx = random_lq_problem(chunk, horizon, n, m)
-        if name in ("fused", "fused_bf16"):
+        if name in ("fused", "fused_bf16", "fused2d", "fused2d_bf16"):
             v_x_b = jnp.broadcast_to(v_x, (chunk, n))
             v_xx_b = jnp.broadcast_to(v_xx, (chunk, n, n))
-            # fused_bf16: the r4 tile-sweep winner — stage inputs streamed
-            # bf16 with f32 carry/outputs, tile_b=256/block_t=4 (opt-in:
-            # ~1e-3 relative gain error, tests/test_fused_riccati.py).
-            kw = (dict(stream_dtype=jnp.bfloat16, tile_b=256, block_t=4)
-                  if name == "fused_bf16" else {})
+            # fused_bf16: the r4 tile-sweep winner for the column-major
+            # layout — stage inputs streamed bf16 with f32 carry/outputs,
+            # tile_b=256/block_t=4 (opt-in: ~1e-3 relative gain error,
+            # tests/test_fused_riccati.py).
+            # fused2d[_bf16]: the r5 batch2d layout at its full-vreg
+            # configs (tile_s=8; bt=2 f32 / bt=4 bf16 stream) — the
+            # dispatch pick at chunk >= 1024.
+            if name == "fused2d":
+                kern = lambda *t: riccati_backward_batched_fused2d(
+                    *t, tile_s=8, block_t=2)[0]
+            elif name == "fused2d_bf16":
+                kern = lambda *t: riccati_backward_batched_fused2d(
+                    *t, tile_s=8, block_t=4, stream_dtype=jnp.bfloat16)[0]
+            elif name == "fused_bf16":
+                kern = lambda *t: riccati_backward_batched_fused(
+                    *t, stream_dtype=jnp.bfloat16, tile_b=256, block_t=4)[0]
+            else:
+                kern = lambda *t: riccati_backward_batched_fused(*t)[0]
             fn = jax.jit(
-                lambda aa, bb, ee, _vx=v_x_b, _vxx=v_xx_b, _kw=kw:
-                riccati_backward_batched_fused(aa, bb, ee, _vx, _vxx, **_kw)[0]
+                lambda aa, bb, ee, _vx=v_x_b, _vxx=v_xx_b, _k=kern:
+                _k(aa, bb, ee, _vx, _vxx)
             )
         else:
             fn = jax.jit(
@@ -438,6 +467,11 @@ def bench_pod_scale():
         results["fused_bf16_stream"] = run_chunk("fused_bf16", 512)
     except Exception as e:
         results["fused_bf16_stream"] = {"error": type(e).__name__}
+    for nm in ("fused2d", "fused2d_bf16"):
+        try:
+            results[nm] = run_chunk(nm, 1024)
+        except Exception as e:
+            results[nm] = {"error": type(e).__name__}
     scan_sweep = {}
     for chunk in (64, 128, 256):
         try:

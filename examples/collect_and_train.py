@@ -155,6 +155,27 @@ def mujoco_plant_adapters_batched(system, count):
     return plants, 20, measured
 
 
+def _drop_nonfinite_rows(dataset):
+    """Drop rows with non-finite states or gain labels (host GainDataset).
+
+    Non-finite rows (e.g. labels solved on a diverged on-policy DAgger lane)
+    poison the z-score normalizer: one NaN makes every feature NaN and the
+    whole training run with it. Applied to EVERY host dataset right before
+    training, whether loaded from disk or freshly collected (streamed shard
+    datasets filter at load instead, io/shardio.py).
+    """
+    from quattro_tpu.training import GainDataset
+
+    if not isinstance(dataset, GainDataset):
+        return dataset
+    finite = (np.isfinite(dataset.x_data).all(axis=(1, 2))
+              & np.isfinite(dataset.kk_data).all(axis=(1, 2)))
+    if not finite.all():
+        print(f"dropping {int((~finite).sum())} non-finite rows", flush=True)
+        dataset = GainDataset(dataset.x_data[finite], dataset.kk_data[finite])
+    return dataset
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--system", required=True, choices=["cartpole", "quadrotor"])
@@ -332,13 +353,7 @@ def main() -> None:
 
         dataset = load_gain_dataset(args.dataset_in)
         print(f"loaded {dataset.x_data.shape[0]} rows from {args.dataset_in}", flush=True)
-        # Non-finite rows (e.g. labels solved on a diverged on-policy lane)
-        # poison the z-score normalizer: one NaN makes every feature NaN.
-        finite = (np.isfinite(dataset.x_data).all(axis=(1, 2))
-                  & np.isfinite(dataset.kk_data).all(axis=(1, 2)))
-        if not finite.all():
-            print(f"dropping {int((~finite).sum())} non-finite rows", flush=True)
-            dataset = GainDataset(dataset.x_data[finite], dataset.kk_data[finite])
+        dataset = _drop_nonfinite_rows(dataset)
         if args.max_rows and dataset.x_data.shape[0] > args.max_rows:
             sel = np.random.default_rng(7).choice(
                 dataset.x_data.shape[0], args.max_rows, replace=False
@@ -485,6 +500,12 @@ def main() -> None:
     if args.epochs == 0:
         print("epochs=0: collection-only run, skipping training", flush=True)
         return
+
+    # Every host dataset passes the finite-row filter before normalization/
+    # training — a single-invocation DAgger run (--parallel-plants
+    # --dagger-checkpoint without --dataset-in) trains on the freshly
+    # collected rows, which can include diverged-lane labels.
+    dataset = _drop_nonfinite_rows(dataset)
 
     # 80/20 split, shuffled with a fixed seed (transformer_training.py:45-56).
     if args.device_resident and isinstance(dataset, GainDataset):

@@ -33,11 +33,15 @@ from quattro_tpu.ops.smallchol import (
 from quattro_tpu.ops.smalllu import batched_small_solve, lu_solve, unrolled_lu
 from quattro_tpu.ops.fused_riccati import (
     riccati_backward_batched_fused,
+    riccati_backward_batched_fused2d,
+    riccati_backward_batched_fused_auto,
     riccati_backward_fused_single,
 )
 
 __all__ = [
     "riccati_backward_batched_fused",
+    "riccati_backward_batched_fused2d",
+    "riccati_backward_batched_fused_auto",
     "riccati_backward_fused_single",
     "BlockTridiagonal",
     "LQRKKTSystem",

@@ -45,6 +45,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from quattro_tpu.solver.derivatives import CostExpansion
 
@@ -356,6 +357,370 @@ def riccati_backward_batched_fused(
     k_seq = jnp.transpose(k_soa, (2, 0, 1))[:batch, h_pad - horizon :]
     big_k_seq = jnp.transpose(bigk_soa, (3, 0, 1, 2))[:batch, h_pad - horizon :]
     return k_seq, big_k_seq
+
+
+def riccati_backward_batched_fused2d(
+    a_seq: jnp.ndarray,  # (B, H, n, n)
+    b_seq: jnp.ndarray,  # (B, H, n, m)
+    cost_exp: CostExpansion,  # fields (B, H, ...)
+    v_x_final: jnp.ndarray,  # (B, n)
+    v_xx_final: jnp.ndarray,  # (B, n, n)
+    reg: float = 1e-6,
+    interpret: bool = False,
+    tile_s: int | None = None,
+    block_t: int = 2,
+    stream_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused batched backward pass, batch packed on sublanes AND lanes.
+
+    The column-major kernel above (``riccati_backward_batched_fused``) keeps
+    the batch on the 128-lane axis only, so every FMA runs on an
+    (n, 128)-shaped tile: 2 vregs with 4/16 sublanes dead for n=12, and the
+    whole Cholesky/solve chain on (1, 128) lane vectors at 1/8 sublane
+    utilization. The r4 tile sweep pinned that kernel as VPU op-COUNT bound
+    (BASELINE.md pod-scale notes), so this variant attacks the op count
+    directly with a fully scalarized layout:
+
+    - every ENTRY of every small matrix is its own (tile_s, 128) tile of
+      ``tile_s * 128`` independent batch problems (tile_s=8 -> one full f32
+      vreg, 100% utilization for every op in the body, Cholesky included);
+    - transposed reads are FREE (index the (j, i) entry instead of (i, j))
+      — the duplicated ``at/bt/luxt`` streams of the column-major layout
+      disappear, nearly halving HBM traffic and input VMEM;
+    - the body is written as SMALL-LEADING-AXIS tensor ops on
+      (entries, tile_s, 128) arrays (one mul + one axis-0 reduction per
+      contraction column) rather than fully unrolled scalar chains: Mosaic
+      unrolls the leading axes into vreg ops internally, keeping the traced
+      body ~200 equations — the fully unrolled form (~10k equations) did
+      not finish Mosaic compilation in 9 minutes.
+
+    Per step the body executes the raw FLOP count (~6.1k mul-adds for n=12,
+    m=4) at full vreg width, vs ~1.65k partially-utilized vector ops per
+    128 lanes in the column-major layout — a ~2.2x op-efficiency gain at
+    tile_s=8. Same update law and semantics as the column-major kernel
+    (quattro_ilqr_tf.py:297-317 contract via solver/riccati.py); V_xx'
+    carries the same f32 near-symmetry as that kernel (columns computed
+    independently; parity tests pin the band).
+
+    ``tile_s`` defaults to ``min(8, ceil(batch / 128))`` — full vregs when
+    the batch is wide enough, graceful degradation (partially-filled
+    sublanes) below 1024. ``stream_dtype`` as in the column-major kernel:
+    narrows the STAGE INPUT stream only (carry/arithmetic/outputs stay f32).
+
+    Returns (k_seq (B, H, m), big_k_seq (B, H, m, n)).
+    """
+    batch, horizon, n, _ = a_seq.shape
+    m = b_seq.shape[-1]
+    dtype = a_seq.dtype
+    if tile_s is None:
+        tile_s = max(1, min(8, -(-batch // _LANE)))
+    chunk = tile_s * _LANE
+
+    # ---- pad batch to a chunk multiple; benign pad content ---------------
+    b_pad = _round_up(max(batch, chunk), chunk)
+    if b_pad != batch:
+        p = b_pad - batch
+
+        def padz(x):
+            return jnp.concatenate([x, jnp.zeros((p,) + x.shape[1:], x.dtype)], axis=0)
+
+        a_seq = padz(a_seq)
+        b_seq = padz(b_seq)
+        eye_m = jnp.broadcast_to(jnp.eye(m, dtype=dtype), (p, horizon, m, m))
+        cost_exp = CostExpansion(
+            l_x=padz(cost_exp.l_x),
+            l_u=padz(cost_exp.l_u),
+            l_xx=padz(cost_exp.l_xx),
+            l_uu=jnp.concatenate([cost_exp.l_uu, eye_m], axis=0),
+            l_ux=padz(cost_exp.l_ux),
+        )
+        v_x_final = padz(v_x_final)
+        v_xx_final = padz(v_xx_final)
+
+    # Horizon pad: identity-dynamics zero-cost steps PREPENDED (they run
+    # LAST in the reverse recursion and pass V through; see the column-major
+    # kernel's rationale).
+    h_pad = _round_up(horizon, block_t)
+    if h_pad != horizon:
+        ph = h_pad - horizon
+
+        def pre(x, fill):
+            pad_block = jnp.broadcast_to(fill, (b_pad, ph) + x.shape[2:]).astype(x.dtype)
+            return jnp.concatenate([pad_block, x], axis=1)
+
+        a_seq = pre(a_seq, jnp.eye(n, dtype=dtype))
+        b_seq = pre(b_seq, jnp.zeros((n, m), dtype))
+        cost_exp = CostExpansion(
+            l_x=pre(cost_exp.l_x, jnp.zeros((n,), dtype)),
+            l_u=pre(cost_exp.l_u, jnp.zeros((m,), dtype)),
+            l_xx=pre(cost_exp.l_xx, jnp.zeros((n, n), dtype)),
+            l_uu=pre(cost_exp.l_uu, jnp.eye(m, dtype=dtype)),
+            l_ux=pre(cost_exp.l_ux, jnp.zeros((m, n), dtype)),
+        )
+
+    nb = b_pad // chunk
+    n_hblocks = h_pad // block_t
+
+    if stream_dtype is not None and jnp.dtype(stream_dtype) != jnp.dtype(dtype):
+        narrow = lambda x: x.astype(stream_dtype)
+    else:
+        stream_dtype = None
+        narrow = lambda x: x
+
+    # ---- host-side packing: entries-as-tiles SoA -------------------------
+    # (B, H, r, c) -> (nb * h_pad, r * c, tile_s, LANE): axis 0 is
+    # batch-tile-major then time, axis 1 the flattened matrix entry
+    # (row-major), last two the in-tile batch (b = ib*chunk + s*LANE + l).
+    def pack(x):
+        e = int(np.prod(x.shape[2:])) if x.ndim > 2 else 1
+        xr = x.reshape(nb, tile_s, _LANE, h_pad, e)
+        return jnp.transpose(xr, (0, 3, 4, 1, 2)).reshape(
+            nb * h_pad, e, tile_s, _LANE
+        )
+
+    a_pk = narrow(pack(a_seq))
+    b_pk = narrow(pack(b_seq))
+    lxx_pk = narrow(pack(cost_exp.l_xx))
+    luu_pk = narrow(pack(cost_exp.l_uu))
+    lux_pk = narrow(pack(cost_exp.l_ux))
+    lx_pk = narrow(pack(cost_exp.l_x))
+    lu_pk = narrow(pack(cost_exp.l_u))
+
+    def pack_term(x):  # (B, e...) -> (nb * e, tile_s, LANE), carry dtype
+        e = int(np.prod(x.shape[1:])) if x.ndim > 1 else 1
+        xr = x.reshape(nb, tile_s, _LANE, e)
+        return jnp.transpose(xr, (0, 3, 1, 2)).reshape(nb * e, tile_s, _LANE)
+
+    vxf_pk = pack_term(v_x_final)
+    vxxf_pk = pack_term(v_xx_final)
+    reg_c = float(reg)
+
+    def kernel(a_r, b_r, lxx_r, luu_r, lux_r, lx_r, lu_r, vxf_r, vxxf_r,
+               k_out, bigk_out, vx_s, vxx_s):
+        from jax.experimental import pallas as pl
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            vx_s[...] = vxf_r[...]
+            vxx_s[...] = vxxf_r[...]
+
+        up = (lambda x: x.astype(dtype)) if stream_dtype is not None else (
+            lambda x: x)
+
+        def step(i, _):
+            tt = block_t - 1 - i
+            # Leading-axis tensor views; tile dims (tile_s, LANE) trailing.
+            A = up(a_r[tt]).reshape(n, n, tile_s, _LANE)      # [row k][col j]
+            Bm = up(b_r[tt]).reshape(n, m, tile_s, _LANE)
+            Lxx = up(lxx_r[tt]).reshape(n, n, tile_s, _LANE)
+            Luu = up(luu_r[tt]).reshape(m, m, tile_s, _LANE)
+            Lux = up(lux_r[tt]).reshape(m, n, tile_s, _LANE)
+            lx = up(lx_r[tt])                                  # (n, S, L)
+            lu = up(lu_r[tt])                                  # (m, S, L)
+            vx = vx_s[...]                                     # (n, S, L)
+            vxx = vxx_s[...].reshape(n, n, tile_s, _LANE)
+
+            def red(x_stack, y_cols, init=None):
+                """``init + sum_k x_stack[k] * y_cols[k]`` over the leading
+                axis, as an explicit multiply-add CHAIN: ``a * b + acc`` is
+                the vreg MAC pattern (one fused op per term), where the
+                mul-everything-then-tree-``jnp.sum`` form measured ~1
+                vector-op/cycle (separate mul and add issue slots). Costs
+                ~2n traced equations per contraction instead of 2 — the
+                traced body lands at ~700 equations, still ~3 min of Mosaic
+                compile (the fully scalarized form at ~10k equations never
+                finished)."""
+                acc = x_stack[0] * y_cols[0] if init is None else (
+                    x_stack[0] * y_cols[0] + init)
+                for k2 in range(1, x_stack.shape[0]):
+                    acc = x_stack[k2] * y_cols[k2] + acc
+                return acc
+
+            # T1 = Vxx @ A (n, n), T3 = Vxx @ B (n, m): column-at-a-time so
+            # no (n^3)-tile intermediate materializes.
+            # INDEX ORDER NOTE: each contraction runs over the LEADING axis
+            # of both operands, so t1[r, c] = sum_k vxx[k, r] A[k, c] —
+            # correct because the V_xx carry is stored symmetrized (see the
+            # V' update below).
+            t1 = jnp.stack(
+                [red(vxx, A[:, c][:, None]) for c in range(n)], axis=1
+            )  # t1[r, c]
+            t3 = jnp.stack(
+                [red(vxx, Bm[:, c][:, None]) for c in range(m)], axis=1
+            )
+
+            # Q-expansion (quattro_ilqr_tf.py:297-301). Transposed reads are
+            # leading-axis indexing — free.
+            # Q_xx = l_xx + A' T1; Q_ux = l_ux + B' T1; Q_uu = l_uu + B' T3.
+            qxx = jnp.stack(
+                [red(A, t1[:, c][:, None], Lxx[:, c]) for c in range(n)],
+                axis=1,
+            )
+            qux = jnp.stack(
+                [red(Bm, t1[:, c][:, None], Lux[:, c]) for c in range(n)],
+                axis=1,
+            )  # (m, n): qux[t, c] = l_ux[t, c] + sum_k B[k, t] t1[k, c]
+            quu = jnp.stack(
+                [red(Bm, t3[:, c][:, None], Luu[:, c]) for c in range(m)],
+                axis=1,
+            )
+            qx = red(A, vx[:, None], lx)
+            qu = red(Bm, vx[:, None], lu)
+
+            # Cholesky of Q_uu + reg I — full-tile ops, rsqrt critical path
+            # (see the column-major kernel's rationale).
+            chol = [[None] * m for _ in range(m)]
+            inv_diag = [None] * m
+            for j in range(m):
+                diag = quu[j, j] + reg_c
+                for t in range(j):
+                    diag = diag - chol[j][t] * chol[j][t]
+                inv_ljj = jax.lax.rsqrt(diag)
+                chol[j][j] = diag * inv_ljj
+                inv_diag[j] = inv_ljj
+                for i2 in range(j + 1, m):
+                    off = quu[j, i2]  # symmetric
+                    for t in range(j):
+                        off = off - chol[i2][t] * chol[j][t]
+                    chol[i2][j] = off * inv_ljj
+
+            # One batched solve over all 1 + n right-hand sides: rows are
+            # (1 + n, S, L) values, the triangular chain ops broadcast the
+            # (S, L) Cholesky entries over the rhs axis.
+            rhs = jnp.concatenate([qu[:, None], qux], axis=1)  # (m, 1+n, S, L)
+            ys = []
+            for i2 in range(m):
+                acc = rhs[i2]
+                for t in range(i2):
+                    acc = acc - chol[i2][t][None] * ys[t]
+                ys.append(acc * inv_diag[i2][None])
+            xs = [None] * m
+            for i2 in reversed(range(m)):
+                acc = ys[i2]
+                for t in range(i2 + 1, m):
+                    acc = acc - chol[t][i2][None] * xs[t]
+                xs[i2] = acc * inv_diag[i2][None]
+            sol = jnp.stack(xs, axis=0)  # (m, 1+n, S, L) = [g_u | G]
+            g_u = sol[:, 0]  # (m, S, L)
+            gx = sol[:, 1:]  # (m, n, S, L)
+
+            # Outputs k = -g, K = -G.
+            k_out[tt] = -g_u
+            bigk_out[tt] = -gx.reshape(m * n, tile_s, _LANE)
+
+            # V_x' = Q_x + K'(Q_uu k + Q_u) + Q_ux' k, k = -g_u:
+            inner = qu - red(quu, g_u[:, None])  # (m, S, L); quu symmetric
+            vx_new = qx - red(gx, inner[:, None]) - red(qux, g_u[:, None])
+            # V_xx' = Q_xx - G' Q_ux - reg G' G; symmetrize the stored carry
+            # (costs n^2 tiles of add+mul) so the t1/t3 contractions above
+            # may exploit symmetry exactly.
+            w = qux + reg_c * gx  # (m, n, S, L)
+            vxx_new = qxx - jnp.stack(
+                [red(gx, w[:, c][:, None]) for c in range(n)], axis=1
+            )
+            vxx_sym = 0.5 * (vxx_new + vxx_new.transpose(1, 0, 2, 3))
+            vx_s[...] = vx_new
+            vxx_s[...] = vxx_sym.reshape(n * n, tile_s, _LANE)
+            return 0
+
+        jax.lax.fori_loop(0, block_t, step, 0)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (nb, n_hblocks)
+
+    def sspec(e):  # per-stage tensors: (nb * h_pad, e, tile_s, LANE)
+        return pl.BlockSpec(
+            (block_t, e, tile_s, _LANE),
+            lambda ib, ih: (ib * n_hblocks + n_hblocks - 1 - ih, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def tspec(e):  # terminal tensors: (nb * e, tile_s, LANE)
+        return pl.BlockSpec(
+            (e, tile_s, _LANE), lambda ib, ih: (ib, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    k_pk, bigk_pk = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            sspec(n * n),  # a
+            sspec(n * m),  # b
+            sspec(n * n),  # lxx
+            sspec(m * m),  # luu
+            sspec(m * n),  # lux
+            sspec(n),  # lx
+            sspec(m),  # lu
+            tspec(n),  # v_x_final
+            tspec(n * n),  # v_xx_final
+        ],
+        out_specs=[
+            sspec(m),  # k
+            sspec(m * n),  # big K
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * h_pad, m, tile_s, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb * h_pad, m * n, tile_s, _LANE), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, tile_s, _LANE), dtype),
+            pltpu.VMEM((n * n, tile_s, _LANE), dtype),
+        ],
+        interpret=interpret,
+    )(
+        a_pk, b_pk, lxx_pk, luu_pk, lux_pk, lx_pk, lu_pk, vxf_pk, vxxf_pk,
+    )
+
+    # Unpack: (nb * h_pad, e, tile_s, LANE) -> (B, H, ...).
+    def unpack(x, shape_tail):
+        e = x.shape[1]
+        xr = x.reshape(nb, h_pad, e, tile_s, _LANE)
+        out = jnp.transpose(xr, (0, 3, 4, 1, 2)).reshape(b_pad, h_pad, e)
+        return out[:batch, h_pad - horizon:].reshape(
+            (batch, horizon) + shape_tail
+        )
+
+    return unpack(k_pk, (m,)), unpack(bigk_pk, (m, n))
+
+
+def riccati_backward_batched_fused_auto(
+    a_seq: jnp.ndarray,
+    b_seq: jnp.ndarray,
+    cost_exp: CostExpansion,
+    v_x_final: jnp.ndarray,
+    v_xx_final: jnp.ndarray,
+    reg: float = 1e-6,
+    interpret: bool = False,
+    stream_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Width-dispatched fused batched backward pass.
+
+    Picks the batch2d kernel (``riccati_backward_batched_fused2d``) when the
+    trajectory batch is wide enough to fill its (8, 128) per-entry tiles
+    without excessive padding — measured 1.3-1.7x over the column-major
+    kernel at B >= 1024 on a v5e (benchmarks/tile_sweep_tpu.json) — and the
+    column-major kernel otherwise. Mosaic only compiles the batch2d form in
+    reasonable time at full-vreg tile_s (8 f32 / 16 bf16-stream); sub-vreg
+    tile_s is an interpret-mode/test-only configuration, which is why the
+    dispatch keys on width rather than always preferring batch2d.
+    """
+    batch = a_seq.shape[0]
+    chunk = 8 * _LANE
+    pad_waste = (-(-batch // chunk) * chunk) / batch
+    if batch >= chunk and pad_waste <= 1.25:
+        return riccati_backward_batched_fused2d(
+            a_seq, b_seq, cost_exp, v_x_final, v_xx_final, reg,
+            interpret=interpret, tile_s=8,
+            block_t=4 if stream_dtype is not None else 2,
+            stream_dtype=stream_dtype,
+        )
+    return riccati_backward_batched_fused(
+        a_seq, b_seq, cost_exp, v_x_final, v_xx_final, reg,
+        interpret=interpret, stream_dtype=stream_dtype,
+    )
 
 
 def make_tile_dot(dtype):

@@ -144,6 +144,233 @@ def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
 
+_LANE = 128
+
+
+def fused_feedback_rollouts_batched2d(
+    dynamics: Dynamics,
+    x0: jnp.ndarray,  # (B, n)
+    x_ref_seq: jnp.ndarray,  # (B, H+1, n) (only the first H rows are read)
+    u_ref_seq: jnp.ndarray,  # (B, H, m)
+    k_seq: jnp.ndarray,  # (B, H, m)
+    big_k_seq: jnp.ndarray,  # (B, H, m, n)
+    alphas: jnp.ndarray,  # (A,)
+    interpret: bool = False,
+    tile_s: int | None = None,
+    block_t: int = 4,
+    max_resident: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-alpha batched rollouts with (alpha, batch) packed on sublanes+lanes.
+
+    The first batched rollout kernel (``fused_feedback_rollouts_batched``)
+    measured 3-5x SLOWER than the vmapped XLA scan (BASELINE.md r2 negative):
+    its (A, tile_b) tiles leave sublanes idle (A=6 of 8) and — the dominant
+    loss — it SERIALIZES batch tiles through the grid, so B=512 runs 4x H
+    dependent plant-evaluation chains where XLA runs H chains on one wide
+    (B*A, n) tensor. This kernel is the r3-verdict "transposed layout":
+
+    - the (alpha, batch) pair axis (P = A*B) is packed onto sublanes AND
+      lanes — every state/control COMPONENT is one (tile_s, 128) tile of
+      tile_s*128 independent rollouts (full f32 vregs at tile_s=8);
+    - up to ``max_resident`` pair-tiles stay VMEM-resident per horizon step
+      and advance inside one fori_loop iteration — their plant chains
+      INTERLEAVE (hiding op latency) instead of serializing grid passes;
+    - the feedback term is a leading-axis tensor contraction (one mul + one
+      axis-reduce), and the user's plant is traced in with the same
+      components-first double vmap as the other rollout kernels, so every
+      scalar intermediate becomes a (tile_s, 128) tile.
+
+    Host-side the per-step refs are broadcast over alpha (x A HBM traffic —
+    megabytes at the canonical shapes, microseconds at HBM bandwidth, vs the
+    milliseconds of per-step overhead removed). Costs are evaluated OUTSIDE
+    the kernel (see ``fused_feedback_rollouts``'s rationale).
+
+    Returns ``(cand_x (A, B, H+1, n), cand_u (A, B, H, m))`` — identical
+    contents to ``vmap(vmap(feedback_rollout))`` over (alpha, batch) up to
+    f32 reassociation noise.
+    """
+    batch, horizon, m = u_ref_seq.shape
+    n = x0.shape[-1]
+    n_alpha = alphas.shape[0]
+    dtype = x0.dtype
+    pairs = n_alpha * batch
+    if tile_s is None:
+        tile_s = max(1, min(8, -(-pairs // _LANE)))
+    chunk = tile_s * _LANE
+
+    p_pad = _round_up(max(pairs, chunk), chunk)
+    nb = p_pad // chunk
+    nb_in = min(nb, max_resident)
+    while nb % nb_in:
+        nb_in -= 1
+    nb_out = nb // nb_in
+    h_pad = _round_up(horizon, block_t)
+    n_hblocks = h_pad // block_t
+
+    def pair_pad(x):  # (P, ...) -> (p_pad, ...), zero fill
+        if p_pad == pairs:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((p_pad - pairs,) + x.shape[1:], x.dtype)], axis=0
+        )
+
+    def h_append(x):  # (P_pad, H, e) -> (P_pad, h_pad, e), zero fill
+        if h_pad == horizon:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], h_pad - horizon) + x.shape[2:], x.dtype)],
+            axis=1,
+        )
+
+    def bcast(x):  # (B, H, ...) -> (A*B, H, ...), alpha-major pairs
+        return jnp.broadcast_to(x[None], (n_alpha,) + x.shape).reshape(
+            (pairs,) + x.shape[1:]
+        )
+
+    def pack(x):  # (p_pad, h_pad, e...) -> (nb_out * h_pad, nb_in * e, S, L)
+        e = int(np.prod(x.shape[2:])) if x.ndim > 2 else 1
+        xr = x.reshape(nb_out, nb_in, tile_s, _LANE, h_pad, e)
+        return jnp.transpose(xr, (0, 4, 1, 5, 2, 3)).reshape(
+            nb_out * h_pad, nb_in * e, tile_s, _LANE
+        )
+
+    def pack_static(x):  # (p_pad, e...) -> (nb_out * (nb_in * e), S, L)
+        e = int(np.prod(x.shape[1:])) if x.ndim > 1 else 1
+        xr = x.reshape(nb_out, nb_in, tile_s, _LANE, e)
+        return jnp.transpose(xr, (0, 1, 4, 2, 3)).reshape(
+            nb_out * nb_in * e, tile_s, _LANE
+        )
+
+    xref_pk = pack(h_append(pair_pad(bcast(x_ref_seq[:, :horizon]))))
+    uref_pk = pack(h_append(pair_pad(bcast(u_ref_seq))))
+    k_pk = pack(h_append(pair_pad(bcast(k_seq))))
+    bigk_pk = pack(h_append(pair_pad(bcast(big_k_seq))))
+    x0_pk = pack_static(pair_pad(bcast(x0[:, None, :])[:, 0]))
+    alpha_pairs = jnp.broadcast_to(
+        alphas[:, None].astype(dtype), (n_alpha, batch)
+    ).reshape(pairs)
+    alpha_pk = pack_static(pair_pad(alpha_pairs))
+
+    from quattro_tpu.ops.fused_solve import _hoist_array_constants
+
+    dyn_conv, dyn_consts = _hoist_array_constants(
+        dynamics,
+        jax.ShapeDtypeStruct((n,), dtype),
+        jax.ShapeDtypeStruct((m,), dtype),
+    )
+    const_shapes = [jnp.shape(c) for c in dyn_consts]
+    const_rows = [
+        jnp.asarray(c) if np.ndim(c) >= 2 else jnp.reshape(jnp.asarray(c), (1, -1))
+        for c in dyn_consts
+    ]
+
+    def kernel(x0_r, alpha_r, xref_r, uref_r, k_r, bigk_r, *refs):
+        from jax.experimental import pallas as pl
+
+        const_refs = refs[: len(dyn_consts)]
+        x_out, u_out = refs[len(dyn_consts): len(dyn_consts) + 2]
+        x_s = refs[-1]  # scratch (nb_in * n, S, L)
+        const_vals = [
+            r[...] if r.shape == shp else jnp.reshape(r[...], shp)
+            for r, shp in zip(const_refs, const_shapes)
+        ]
+        # Components-first double vmap: x (n, S, L) -> intermediates (S, L).
+        step_fn = jax.vmap(
+            jax.vmap(
+                lambda x, u: dyn_conv(x, u, *const_vals),
+                in_axes=(-1, -1), out_axes=-1,
+            ),
+            in_axes=(1, 1), out_axes=1,
+        )
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            x_s[...] = x0_r[...]
+
+        alpha = [
+            alpha_r[q] for q in range(nb_in)
+        ]  # per-pair-tile (S, L) step sizes
+
+        def step(tt, _):
+            kk = k_r[tt].reshape(nb_in, m, tile_s, _LANE)
+            bigk = bigk_r[tt].reshape(nb_in, m, n, tile_s, _LANE)
+            xref = xref_r[tt].reshape(nb_in, n, tile_s, _LANE)
+            uref = uref_r[tt].reshape(nb_in, m, tile_s, _LANE)
+            x = x_s[...].reshape(nb_in, n, tile_s, _LANE)
+            x_next_q = []
+            u_q = []
+            for q in range(nb_in):  # resident pair-tiles: chains interleave
+                dx = x[q] - xref[q]  # (n, S, L)
+                du = kk[q] + jnp.sum(bigk[q] * dx[None, :], axis=1)  # (m, S, L)
+                u = uref[q] + alpha[q][None] * du
+                x_next_q.append(step_fn(x[q], u))
+                u_q.append(u)
+            x_next = jnp.stack(x_next_q, axis=0)
+            u_all = jnp.stack(u_q, axis=0)
+            x_out[tt] = x_next.reshape(nb_in * n, tile_s, _LANE)
+            u_out[tt] = u_all.reshape(nb_in * m, tile_s, _LANE)
+            x_s[...] = x_next.reshape(nb_in * n, tile_s, _LANE)
+            return 0
+
+        jax.lax.fori_loop(0, block_t, step, 0)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (nb_out, n_hblocks)
+
+    def sspec(e):  # per-step tensors, FORWARD time order
+        return pl.BlockSpec(
+            (block_t, nb_in * e, tile_s, _LANE),
+            lambda qb, ih: (qb * n_hblocks + ih, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def stat_spec(e):
+        return pl.BlockSpec(
+            (nb_in * e, tile_s, _LANE), lambda qb, ih: (qb, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    x_pk, u_pk = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            stat_spec(n),  # x0
+            stat_spec(1),  # alpha
+            sspec(n),  # xref
+            sspec(m),  # uref
+            sspec(m),  # k
+            sspec(m * n),  # big K
+        ]
+        + [
+            pl.BlockSpec(c.shape, lambda qb, ih: (0, 0), memory_space=pltpu.VMEM)
+            for c in const_rows
+        ],
+        out_specs=[
+            sspec(n),  # x after each step
+            sspec(m),  # u
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb_out * h_pad, nb_in * n, tile_s, _LANE), dtype),
+            jax.ShapeDtypeStruct((nb_out * h_pad, nb_in * m, tile_s, _LANE), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((nb_in * n, tile_s, _LANE), dtype)],
+        interpret=interpret,
+    )(x0_pk, alpha_pk, xref_pk, uref_pk, k_pk, bigk_pk, *const_rows)
+
+    def unpack(x, e):  # inverse of pack: -> (A, B, H, e)
+        xr = x.reshape(nb_out, h_pad, nb_in, e, tile_s, _LANE)
+        out = jnp.transpose(xr, (0, 2, 4, 5, 1, 3)).reshape(p_pad, h_pad, e)
+        return out[:pairs, :horizon].reshape(n_alpha, batch, horizon, e)
+
+    x_steps = unpack(x_pk, n)  # states AFTER each step
+    u_steps = unpack(u_pk, m)
+    x0_bc = jnp.broadcast_to(x0[None, :, None, :], (n_alpha, batch, 1, n))
+    cand_x = jnp.concatenate([x0_bc, x_steps], axis=2)  # (A, B, H+1, n)
+    return cand_x, u_steps
+
+
 def fused_feedback_rollouts_batched(
     dynamics: Dynamics,
     x0: jnp.ndarray,  # (B, n)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused
+from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused_auto
 from quattro_tpu.solver.derivatives import (
     linearize_dynamics,
     quadratize_cost,
@@ -96,24 +96,26 @@ def batched_ilqr_solve(
         # the kernel's applicability limits die as opaque Mosaic errors.
         if config.adaptive_reg:
             raise ValueError(
-                "riccati_backend='fused' bakes reg into the kernel as a literal; "
-                "the adaptive LM mu-schedule needs riccati_backend='vmap'"
+                f"riccati_backend={riccati_backend!r} bakes reg into the kernel "
+                "as a literal; the adaptive LM mu-schedule needs "
+                "riccati_backend='vmap'"
             )
         if config.riccati != "auto" or config.parallel_riccati is not None:
             raise ValueError(
-                "riccati_backend='fused' runs the fused sequential-law kernel; "
-                "pinned riccati=/parallel_riccati settings conflict — use "
-                "riccati_backend='vmap'"
+                f"riccati_backend={riccati_backend!r} runs the fused "
+                "sequential-law kernel; pinned riccati=/parallel_riccati "
+                "settings conflict — use riccati_backend='vmap'"
             )
         n, m = x0_batch.shape[-1], u_init_batch.shape[-1]
         if n > 16 or m > 8:
             raise ValueError(
-                f"riccati_backend='fused' supports n <= 16, m <= 8 (got n={n}, m={m})"
+                f"riccati_backend={riccati_backend!r} supports n <= 16, m <= 8 "
+                f"(got n={n}, m={m})"
             )
         if jax.default_backend() == "tpu" and x0_batch.dtype != jnp.float32:
             raise ValueError(
-                "riccati_backend='fused' on TPU requires float32 data "
-                f"(got {x0_batch.dtype})"
+                f"riccati_backend={riccati_backend!r} on TPU requires float32 "
+                f"data (got {x0_batch.dtype})"
             )
     use_fused = riccati_backend in ("fused", "fused_bf16") or (
         riccati_backend == "auto" and _fused_backend_applies(config, x0_batch, u_init_batch)
@@ -187,7 +189,9 @@ def _batched_ilqr_solve_fused(
         a, b = jax.vmap(lambda x, u: linearize_dynamics(dynamics, x, u))(xs, us)
         exp = jax.vmap(lambda x, u: quadratize_cost(cost, x, u))(xs, us)
         fexp = jax.vmap(lambda x: quadratize_final_cost(final_cost, x))(xs[:, -1])
-        k, big_k = riccati_backward_batched_fused(
+        # Width-dispatched: batch2d kernel at B >= 1024 (1.3-1.7x, r5),
+        # column-major kernel below.
+        k, big_k = riccati_backward_batched_fused_auto(
             a, b, exp, fexp.v_x, fexp.v_xx, config.reg, interpret=interpret,
             stream_dtype=stream_dtype,
         )

@@ -130,6 +130,15 @@ def _validate_config(self):
         raise ValueError(
             f"Unknown linesearch mode: {self.linesearch!r} (xla|fused)"
         )
+    if self.linesearch == "fused" and self.linesearch_unroll != 1:
+        # The unroll factor only threads into the "xla" scan rollouts; the
+        # fused rollout kernel has no scan to unroll, and silently ignoring
+        # the knob would misreport what actually ran.
+        raise ValueError(
+            "linesearch_unroll only affects linesearch='xla' (it unrolls the "
+            "XLA rollout scan); combining it with linesearch='fused' has no "
+            f"effect (got linesearch_unroll={self.linesearch_unroll})"
+        )
     return self
 
 

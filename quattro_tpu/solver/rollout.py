@@ -59,6 +59,7 @@ def feedback_rollout(
     big_k_seq: jnp.ndarray,
     alpha: jnp.ndarray,
     unroll: int = 1,
+    fuse_cost: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Closed-loop rollout ``u_t = u_ref_t + alpha (k_t + K_t (x_t - x_ref_t))``.
 
@@ -69,7 +70,34 @@ def feedback_rollout(
     and the XLA while-loop's per-trip overhead dominates the phase; unrolling
     amortizes it (``ILQRConfig.linesearch_unroll`` threads it through the
     batched solve).
+
+    ``fuse_cost``: accumulate the running cost INSIDE the rollout scan (the
+    stage cost fuses into the step's elementwise chain) instead of a second
+    pass re-reading the materialized (H, n)/(H, m) trajectories from HBM.
+    Same value up to f32 summation order (sequential accumulation vs the
+    second pass's sum over a stacked axis) — a near-tie line-search accept
+    can flip, the same caveat class as every other summation-order knob in
+    this solver. Off by default.
     """
+
+    if fuse_cost:
+
+        def step_fc(carry, inp):
+            x, acc = carry
+            x_ref, u_ref, k, big_k = inp
+            du = k + big_k @ (x - x_ref)
+            u = u_ref + alpha * du
+            x_next = dynamics(x, u)
+            return (x_next, acc + cost(x, u)), (x_next, u)
+
+        (x_last, run_total), (xs, us) = jax.lax.scan(
+            step_fc,
+            (x0, jnp.zeros((), x0.dtype)),
+            (x_ref_seq[:-1], u_ref_seq, k_seq, big_k_seq),
+            unroll=unroll,
+        )
+        x_seq = jnp.concatenate([x0[None], xs], axis=0)
+        return x_seq, us, run_total + final_cost(x_last)
 
     def step(x, inp):
         x_ref, u_ref, k, big_k = inp
@@ -98,6 +126,7 @@ def line_search(
     current_cost: jnp.ndarray,
     alphas: jnp.ndarray,
     unroll: int = 1,
+    fuse_cost: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched backtracking line search with first-accept semantics.
 
@@ -105,7 +134,7 @@ def line_search(
     chosen candidate is the FIRST (largest) alpha whose cost does not exceed
     ``current_cost`` — byte-identical accept logic to the reference's
     sequential loop (quattro_ilqr_tf.py:440-451) with none of its sequential
-    latency. ``unroll``: see :func:`feedback_rollout`.
+    latency. ``unroll``/``fuse_cost``: see :func:`feedback_rollout`.
 
     Returns:
         (found, chosen_alpha, new_x_seq, new_u_seq, new_cost); when no
@@ -116,7 +145,7 @@ def line_search(
     def rollout(alpha):
         return feedback_rollout(
             dynamics, cost, final_cost, x0, x_ref_seq, u_ref_seq, k_seq,
-            big_k_seq, alpha, unroll=unroll,
+            big_k_seq, alpha, unroll=unroll, fuse_cost=fuse_cost,
         )
 
     cand_x, cand_u, cand_cost = jax.vmap(rollout)(alphas)

@@ -257,3 +257,69 @@ def test_fused_bf16_backend_close_to_fused():
             dyn, cost, fcost, x0s, u0s, ILQRConfig(adaptive_reg=True),
             riccati_backend="fused_bf16",
         )
+
+
+# ---------------------------------------------------------------------------
+# batch2d kernel (batch packed on sublanes AND lanes, r5)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "batch,horizon,n,m,tile_s,block_t",
+    [
+        (5, 11, 3, 2, 1, 2),  # pad both axes, chunk=128
+        (300, 7, 5, 3, 2, 4),  # multi batch tile, sublane packing
+        (4, 13, 12, 4, 1, 2),  # flagship dims, horizon pad 13 -> 14
+    ],
+)
+def test_fused2d_matches_vmapped_scan_f64(batch, horizon, n, m, tile_s, block_t):
+    from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused2d
+
+    a, b, exp, v_x, v_xx = _random_problem(batch, horizon, n, m, jnp.float64)
+    reg = 1e-6
+    k_ref, big_k_ref = _oracle(a, b, exp, v_x, v_xx, reg)
+    k, big_k = riccati_backward_batched_fused2d(
+        a, b, exp, v_x, v_xx, reg, interpret=True, tile_s=tile_s, block_t=block_t
+    )
+    np.testing.assert_allclose(np.asarray(k), np.asarray(k_ref), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(big_k), np.asarray(big_k_ref), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_fused2d_bf16_stream_close_to_f32():
+    from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused2d
+
+    a, b, exp, v_x, v_xx = _random_problem(4, 12, 12, 4, jnp.float32, seed=5)
+    reg = 1e-6
+    k_ref, big_k_ref = riccati_backward_batched_fused2d(
+        a, b, exp, v_x, v_xx, reg, interpret=True, tile_s=1, block_t=2
+    )
+    k, big_k = riccati_backward_batched_fused2d(
+        a, b, exp, v_x, v_xx, reg, interpret=True, tile_s=1, block_t=2,
+        stream_dtype=jnp.bfloat16,
+    )
+    # Input quantization only: the bf16 mantissa of the stage data bounds the
+    # gain error (same ~1e-2 absolute band as the column-major stream test).
+    scale = float(jnp.max(jnp.abs(big_k_ref)))
+    assert float(jnp.max(jnp.abs(k - k_ref))) < 3e-2 * max(scale, 1.0)
+    assert float(jnp.max(jnp.abs(big_k - big_k_ref))) < 3e-2 * max(scale, 1.0)
+
+
+def test_fused_auto_width_dispatch(monkeypatch):
+    """The auto wrapper picks batch2d only for wide, low-pad-waste batches."""
+    import quattro_tpu.ops.fused_riccati as fr
+
+    monkeypatch.setattr(
+        fr, "riccati_backward_batched_fused2d", lambda *a, **k: ("2d", "2d")
+    )
+    monkeypatch.setattr(
+        fr, "riccati_backward_batched_fused", lambda *a, **k: ("col", "col")
+    )
+    dummy = lambda b: jnp.zeros((b, 4, 3, 3))
+    args = lambda b: (dummy(b), dummy(b), None, None, None)
+    assert fr.riccati_backward_batched_fused_auto(*args(1024))[0] == "2d"
+    assert fr.riccati_backward_batched_fused_auto(*args(4096))[0] == "2d"
+    assert fr.riccati_backward_batched_fused_auto(*args(64))[0] == "col"
+    # pad waste 2048/1100 = 1.86 > 1.25 -> column-major
+    assert fr.riccati_backward_batched_fused_auto(*args(1100))[0] == "col"

@@ -242,3 +242,32 @@ def test_unknown_linesearch_mode_raises():
             dyn, cost, fcost, jnp.zeros(4), jnp.zeros((4, 1)),
             ILQRConfig(linesearch="nope"),
         )
+
+
+def test_fused2d_batched_rollouts_match_double_vmap():
+    """batch2d kernel ((alpha, batch) pairs on sublanes+lanes) vs
+    vmap(vmap(feedback_rollout)) — exact in f64 interpret mode, including
+    pair-pad, horizon-pad, and the multi-resident-tile path."""
+    from quattro_tpu.ops.fused_rollout import fused_feedback_rollouts_batched2d
+
+    dyn, x0, x_ref, u_ref, k_seq, big_k = _quad_batch_setup()
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.05, 0.01], x0.dtype)
+
+    cand_x, cand_u = fused_feedback_rollouts_batched2d(
+        dyn, x0, x_ref, u_ref, k_seq, big_k, alphas, interpret=True,
+        tile_s=1, block_t=4, max_resident=2,
+    )
+
+    zero = lambda *a: jnp.asarray(0.0, x0.dtype)
+
+    def one(alpha, x0_, xr, ur, kk, kb):
+        xs, us, _ = feedback_rollout(dyn, zero, zero, x0_, xr, ur, kk, kb, alpha)
+        return xs, us
+
+    ref_x, ref_u = jax.vmap(
+        lambda alpha: jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0))(
+            alpha, x0, x_ref, u_ref, k_seq, big_k
+        )
+    )(alphas)
+    np.testing.assert_allclose(np.asarray(cand_x), np.asarray(ref_x), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cand_u), np.asarray(ref_u), rtol=1e-12, atol=1e-12)
