@@ -449,9 +449,14 @@ def bench_pod_scale():
                     riccati_backward(aa, bb, ee, _vx, _vxx).k_seq
                 )
             )
+        # repeats is fixed (not min(n_chunks, 16)): the per-measurement
+        # host-fetch RTT (~26 ms on this rig) amortizes as RTT/repeats into
+        # per_chunk, so a chunk-size-dependent repeats count would bias the
+        # comparison AGAINST bigger chunks (n_chunks=4 -> +6.5 ms/chunk vs
+        # +1.6 at 16). Re-running one chunk 16x keeps bytes/chunk identical
+        # (data is re-read from HBM per dispatch either way).
         per_chunk = _time_pipelined(
-            lambda *xs, _f=fn: _f(*xs), (a, b, exp),
-            repeats=min(n_chunks, 16),
+            lambda *xs, _f=fn: _f(*xs), (a, b, exp), repeats=16,
         )
         total = per_chunk * n_chunks
         return {
