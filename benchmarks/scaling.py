@@ -275,8 +275,32 @@ def main():
     # Analytic ICI/DCN projection from the measured 1-device times: the
     # interconnect half of the >=80% target, modelled since this rig cannot
     # measure real multi-chip hops.
+    #
+    # Since the r5 condensing restructure, the D=1 partitioned wall-clock
+    # DEAD-CODE-ELIMINATES phase 1 (the local condensing fold): at D=1 the
+    # halo result is the constant identity, so XLA drops the fold and only
+    # the plain block Riccati (phase 3) runs — which is the honest D=1
+    # time, but NOT the honest per-device compute slice for D > 1, where
+    # every device runs fold + solve on its block. The fold is measured
+    # standalone here and added into the projection's compute term.
+    from quattro_tpu.parallel.horizon import _local_block_element
+    from quattro_tpu.solver.riccati import (
+        _stage_elements_with_factors,
+        _terminal_element,
+    )
+
+    def fold_fn(aa, bb, *exp_fields):
+        exp_ = CostExpansion(*exp_fields)
+        elems, b_f, p_f = _stage_elements_with_factors(aa, bb, exp_, 1e-6)
+        return _local_block_element(
+            elems, b_f, p_f, _terminal_element(v_x, v_xx)
+        ).j
+
+    t_fold1 = _time_pipelined(jax.jit(fold_fn), (a, b, *exp), repeats=repeats)
+    print(f"horizon condensing fold alone: {t_fold1*1e3:.2f} ms", flush=True)
+    out["horizon_scaling"]["t_fold1_seconds"] = t_fold1
     out["horizon_scaling"]["analytic_projection"] = analytic_projection(
-        times[1], t_best1, horizon_h, n
+        times[1] + t_fold1, t_best1, horizon_h, n
     )
 
     # ---- 3) 2D podscale (traj x horizon) ---------------------------------

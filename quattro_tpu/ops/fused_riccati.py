@@ -370,6 +370,8 @@ def riccati_backward_batched_fused2d(
     tile_s: int | None = None,
     block_t: int = 2,
     stream_dtype=None,
+    packed_stage=None,
+    horizon: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused batched backward pass, batch packed on sublanes AND lanes.
 
@@ -407,8 +409,33 @@ def riccati_backward_batched_fused2d(
     sublanes) below 1024. ``stream_dtype`` as in the column-major kernel:
     narrows the STAGE INPUT stream only (carry/arithmetic/outputs stay f32).
 
+    ``packed_stage``: the seven stage tensors ALREADY in this kernel's
+    packed layout ((nb * h_pad, entries, tile_s, 128), order (a, b, l_xx,
+    l_uu, l_ux, l_x, l_u), horizon pre-padded) — as emitted by
+    ``ops/fused_linquad.py::linquad_batched_fused``. Skips every host-side
+    pad/pack transpose; ``a_seq/b_seq/cost_exp`` may be None, ``horizon``
+    (the UNpadded horizon) is then required, and the batch (from
+    ``v_x_final``) must be a multiple of ``tile_s * 128``.
+
     Returns (k_seq (B, H, m), big_k_seq (B, H, m, n)).
     """
+    if packed_stage is not None:
+        batch, n = v_x_final.shape
+        dtype = v_x_final.dtype
+        if tile_s is None:
+            tile_s = max(1, min(8, -(-batch // _LANE)))
+        chunk = tile_s * _LANE
+        if batch % chunk:
+            raise ValueError(
+                f"packed_stage path needs batch % (tile_s*128) == 0 "
+                f"(got batch={batch}, tile_s={tile_s})"
+            )
+        if horizon is None:
+            raise ValueError("packed_stage path needs the unpadded horizon")
+        return _fused2d_packed_call(
+            packed_stage, v_x_final, v_xx_final, batch, horizon, n,
+            reg, interpret, tile_s, block_t, stream_dtype,
+        )
     batch, horizon, n, _ = a_seq.shape
     m = b_seq.shape[-1]
     dtype = a_seq.dtype
@@ -459,13 +486,6 @@ def riccati_backward_batched_fused2d(
         )
 
     nb = b_pad // chunk
-    n_hblocks = h_pad // block_t
-
-    if stream_dtype is not None and jnp.dtype(stream_dtype) != jnp.dtype(dtype):
-        narrow = lambda x: x.astype(stream_dtype)
-    else:
-        stream_dtype = None
-        narrow = lambda x: x
 
     # ---- host-side packing: entries-as-tiles SoA -------------------------
     # (B, H, r, c) -> (nb * h_pad, r * c, tile_s, LANE): axis 0 is
@@ -478,14 +498,41 @@ def riccati_backward_batched_fused2d(
             nb * h_pad, e, tile_s, _LANE
         )
 
-    a_pk = narrow(pack(a_seq))
-    b_pk = narrow(pack(b_seq))
-    lxx_pk = narrow(pack(cost_exp.l_xx))
-    luu_pk = narrow(pack(cost_exp.l_uu))
-    lux_pk = narrow(pack(cost_exp.l_ux))
-    lx_pk = narrow(pack(cost_exp.l_x))
-    lu_pk = narrow(pack(cost_exp.l_u))
+    packed = (
+        pack(a_seq), pack(b_seq), pack(cost_exp.l_xx), pack(cost_exp.l_uu),
+        pack(cost_exp.l_ux), pack(cost_exp.l_x), pack(cost_exp.l_u),
+    )
+    k_seq, big_k_seq = _fused2d_packed_call(
+        packed, v_x_final, v_xx_final, b_pad, horizon, n,
+        reg, interpret, tile_s, block_t, stream_dtype,
+    )
+    return k_seq[:batch], big_k_seq[:batch]
 
+
+def _fused2d_packed_call(
+    packed_stage, v_x_final, v_xx_final, batch, horizon, n,
+    reg, interpret, tile_s, block_t, stream_dtype,
+):
+    """Shared kernel driver: packed stage tensors in, (B, H) gains out."""
+    dtype = v_x_final.dtype
+    chunk = tile_s * _LANE
+    nb = batch // chunk
+    h_pad = packed_stage[0].shape[0] // nb
+    if h_pad % block_t:
+        raise ValueError(
+            f"packed h_pad {h_pad} must be divisible by block_t {block_t}"
+        )
+    n_hblocks = h_pad // block_t
+    m = packed_stage[6].shape[1]
+
+    if stream_dtype is not None and jnp.dtype(stream_dtype) != jnp.dtype(dtype):
+        narrow = lambda x: x.astype(stream_dtype)
+    else:
+        stream_dtype = None
+        narrow = lambda x: x
+    a_pk, b_pk, lxx_pk, luu_pk, lux_pk, lx_pk, lu_pk = (
+        narrow(x) for x in packed_stage
+    )
     def pack_term(x):  # (B, e...) -> (nb * e, tile_s, LANE), carry dtype
         e = int(np.prod(x.shape[1:])) if x.ndim > 1 else 1
         xr = x.reshape(nb, tile_s, _LANE, e)
@@ -678,8 +725,8 @@ def riccati_backward_batched_fused2d(
     def unpack(x, shape_tail):
         e = x.shape[1]
         xr = x.reshape(nb, h_pad, e, tile_s, _LANE)
-        out = jnp.transpose(xr, (0, 3, 4, 1, 2)).reshape(b_pad, h_pad, e)
-        return out[:batch, h_pad - horizon:].reshape(
+        out = jnp.transpose(xr, (0, 3, 4, 1, 2)).reshape(batch, h_pad, e)
+        return out[:, h_pad - horizon:].reshape(
             (batch, horizon) + shape_tail
         )
 

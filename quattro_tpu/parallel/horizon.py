@@ -32,10 +32,10 @@ from quattro_tpu.solver.riccati import (
     RiccatiResult,
     ValueElement,
     _combine,
-    _gains_and_value,
-    _q_expansion,
-    _stage_elements,
+    _combine_stage_acc,
+    _stage_elements_with_factors,
     _terminal_element,
+    riccati_backward,
 )
 
 
@@ -59,6 +59,10 @@ def _local_suffix_scan(elems: ValueElement) -> ValueElement:
     per-device), and (b) ``associative_scan`` UNROLLS the combine ~2 log2(H)
     times into the graph, which blew XLA compile time up >10x inside
     shard_map; a scan keeps ONE combine instance.
+
+    Kept for the 2-D podscale path; the 1-D horizon path now uses the
+    cheaper condensing form (`_local_block_element` + a plain block Riccati
+    after the halo exchange — see ``sharded_riccati_backward``).
     """
 
     def step(carry, elem):
@@ -71,6 +75,31 @@ def _local_suffix_scan(elems: ValueElement) -> ValueElement:
     return jax.tree.map(
         lambda s, l: jnp.concatenate([s, l[None]], axis=0), suffixes, last
     )
+
+
+def _local_block_element(
+    stage_elems: ValueElement,
+    b_seq: jnp.ndarray,
+    p_seq: jnp.ndarray,
+    tail: ValueElement,
+) -> ValueElement:
+    """Reduce a local block of stage elements to ONE element (the condensing
+    fold): ``e_t0 ∘ e_t0+1 ∘ ... ∘ e_t1-1 ∘ tail`` without materializing the
+    intermediate suffixes.
+
+    Each fold step is the Woodbury-structured ``_combine_stage_acc`` — the
+    "earlier" operand is always a STAGE element whose C is rank-m (B W B'),
+    so the generic combine's two n x n no-pivot LU solves collapse to one
+    m x m factorization (~2x a plain Riccati step in FLOPs and a 4-deep
+    instead of 12-deep in-step chain for the flagship dims).
+    """
+
+    def step(carry, inp):
+        elem, b_t, p_t = inp
+        return _combine_stage_acc(elem, b_t, p_t, carry), None
+
+    acc, _ = jax.lax.scan(step, tail, (stage_elems, b_seq, p_seq), reverse=True)
+    return acc
 
 
 def cross_device_exclusive_suffix(
@@ -219,56 +248,12 @@ def sharded_suffix_value_functions(
     at step t; the terminal V_H is the given (v_x_final, v_xx_final). The
     layout keeps every shard the same size (H/D entries per device).
     """
-    n = v_x_final.shape[0]
-    dtype = a_seq.dtype
-    num_shards = mesh.shape[axis]
-
-    def local_block(a_blk, b_blk, lx, lu, lxx, luu, lux):
-        """Runs per device on its (H/D)-slice of the horizon."""
-        idx = jax.lax.axis_index(axis)
-        exp = CostExpansion(lx, lu, lxx, luu, lux)
-        elems = _stage_elements(a_blk, b_blk, exp, reg)
-
-        # The LAST shard appends the terminal element to its block so the
-        # global chain ends with V_T. Other shards append the identity.
-        term = _terminal_element(v_x_final, v_xx_final)
-        ident = _identity_element(n, dtype)
-        tail = jax.tree.map(
-            lambda t, i: jnp.where(idx == num_shards - 1, t, i), term, ident
-        )
-        elems = ValueElement(
-            *(jnp.concatenate([e, t[None]], axis=0) for e, t in zip(elems, tail))
-        )
-
-        # 1) local inclusive suffix scan (on-chip, O(log) depth)
-        local = _local_suffix_scan(elems)
-        block_elem = jax.tree.map(lambda x: x[0], local)  # whole-block element
-
-        # 2) exclusive suffix scan of block elements across devices — the
-        #    boundary value-element ((V_x, V_xx)) halo exchange.
-        acc = cross_device_exclusive_suffix(
-            block_elem, axis, num_shards, idx, ident, mode=scan_mode
-        )
-
-        # 3) compose local suffixes (dropping the appended tail slot) with the
-        #    cross-device suffix of everything to the right of this block.
-        local_main = jax.tree.map(lambda x: x[:-1], local)
-        combined = _combine(local_main, jax.tree.map(lambda x: x[None], acc))
-        # combined[i] = V at the global time of local index i.
-        return -combined.eta, combined.j
-
-    spec = PartitionSpec(axis)
-    from jax import shard_map
-
-    v_x_all, v_xx_all = shard_map(
-        local_block,
-        mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, spec, spec),
-        out_specs=(spec, spec),
-    )(a_seq, b_seq, cost_exp.l_x, cost_exp.l_u, cost_exp.l_xx, cost_exp.l_uu, cost_exp.l_ux)
-
-    # v_x_all[t] is V at step t (t = 0..H-1); the caller also needs V_T.
-    return v_x_all, v_xx_all
+    res = sharded_riccati_backward(
+        mesh, a_seq, b_seq, cost_exp, v_x_final, v_xx_final, reg, axis,
+        scan_mode,
+    )
+    # v_x_seq[t] is V at step t (t = 0..H-1); the caller also needs V_T.
+    return res.v_x_seq[:-1], res.v_xx_seq[:-1]
 
 
 def sharded_riccati_backward(
@@ -282,20 +267,79 @@ def sharded_riccati_backward(
     axis: str = "horizon",
     scan_mode: str = "tree",
 ) -> RiccatiResult:
-    """Full horizon-partitioned backward pass: sharded suffix Vs + local gains."""
-    v_x_head, v_xx_head = sharded_suffix_value_functions(
-        mesh, a_seq, b_seq, cost_exp, v_x_final, v_xx_final, reg, axis, scan_mode
-    )
+    """Full horizon-partitioned backward pass, condensing form (r5).
+
+    Three phases per device:
+
+    1. **Condense** the local block of stage elements to ONE block element
+       (`_local_block_element`: a sequential fold of the Woodbury-structured
+       ``_combine_stage_acc``, ~2x a plain Riccati step each — the r4 form
+       instead materialized the full local SUFFIX of elements with the
+       generic n x n combine and then composed every suffix with the halo,
+       a measured 4.3x single-device work inflation over the plain scan).
+    2. **Halo exchange** (unchanged contract: `halo_schedule_spec` pins the
+       payload and round count; tree or ring `lax.ppermute` schedule).
+    3. **Local solve**: the incoming exclusive suffix is a PURE value
+       function (its chain ends at the terminal element, so a=0): read the
+       boundary (V_x, V_xx) off it (the last shard uses the actual terminal
+       pair) and run the PLAIN sequential block Riccati — gains and interior
+       values at exactly `riccati_backward` cost and semantics (the
+       reference update law, reg on Q_uu).
+
+    Single-device partitioned cost is phase1 + phase3 ~= 3x one plain scan
+    of the block (measured; down from 4.3x), and phase 3's gains now carry
+    the sequential form's exact reg placement.
+    """
+    n = v_x_final.shape[0]
+    dtype = a_seq.dtype
+    num_shards = mesh.shape[axis]
+
+    def local_block(a_blk, b_blk, lx, lu, lxx, luu, lux):
+        """Runs per device on its (H/D)-slice of the horizon."""
+        idx = jax.lax.axis_index(axis)
+        exp = CostExpansion(lx, lu, lxx, luu, lux)
+        elems, b_fact, p_fact = _stage_elements_with_factors(
+            a_blk, b_blk, exp, reg
+        )
+
+        # The LAST shard folds the terminal element into its block so the
+        # global chain ends with V_T. Other shards fold the identity.
+        term = _terminal_element(v_x_final, v_xx_final)
+        ident = _identity_element(n, dtype)
+        tail = jax.tree.map(
+            lambda t, i: jnp.where(idx == num_shards - 1, t, i), term, ident
+        )
+
+        # 1) condensing fold -> one block element
+        block_elem = _local_block_element(elems, b_fact, p_fact, tail)
+
+        # 2) exclusive suffix scan of block elements across devices — the
+        #    boundary value-element ((V_x, V_xx)) halo exchange.
+        acc = cross_device_exclusive_suffix(
+            block_elem, axis, num_shards, idx, ident, mode=scan_mode
+        )
+
+        # 3) boundary V at this block's right edge: every non-last shard's
+        #    suffix ends at the terminal element (a=0 — a pure quadratic
+        #    value function), so V_x = -eta, V_xx = J; the last shard IS the
+        #    edge and uses the terminal pair directly. Then one plain block
+        #    Riccati produces gains + interior values.
+        last = idx == num_shards - 1
+        v_edge_x = jnp.where(last, v_x_final, -acc.eta)
+        v_edge_xx = jnp.where(last, v_xx_final, acc.j)
+        res = riccati_backward(a_blk, b_blk, exp, v_edge_x, v_edge_xx, reg)
+        return res.k_seq, res.big_k_seq, res.v_x_seq[:-1], res.v_xx_seq[:-1]
+
+    spec = PartitionSpec(axis)
+    from jax import shard_map
+
+    k_seq, big_k_seq, v_x_head, v_xx_head = shard_map(
+        local_block,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, spec, spec),
+        out_specs=(spec, spec, spec, spec),
+    )(a_seq, b_seq, cost_exp.l_x, cost_exp.l_u, cost_exp.l_xx, cost_exp.l_uu, cost_exp.l_ux)
+
     v_x_seq = jnp.concatenate([v_x_head, v_x_final[None]], axis=0)
     v_xx_seq = jnp.concatenate([v_xx_head, v_xx_final[None]], axis=0)
-
-    def gains(a, b, l_x, l_u, l_xx, l_uu, l_ux, v_x, v_xx):
-        q = _q_expansion(a, b, l_x, l_u, l_xx, l_uu, l_ux, v_x, v_xx)
-        k, big_k, _, _ = _gains_and_value(*q, reg)
-        return k, big_k
-
-    k_seq, big_k_seq = jax.vmap(gains)(
-        a_seq, b_seq, cost_exp.l_x, cost_exp.l_u, cost_exp.l_xx, cost_exp.l_uu,
-        cost_exp.l_ux, v_x_seq[1:], v_xx_seq[1:],
-    )
     return RiccatiResult(k_seq, big_k_seq, v_x_seq, v_xx_seq)

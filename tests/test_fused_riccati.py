@@ -323,3 +323,37 @@ def test_fused_auto_width_dispatch(monkeypatch):
     assert fr.riccati_backward_batched_fused_auto(*args(64))[0] == "col"
     # pad waste 2048/1100 = 1.86 > 1.25 -> column-major
     assert fr.riccati_backward_batched_fused_auto(*args(1100))[0] == "col"
+
+
+def test_bf16_stream_never_auto_selected():
+    """Pin the r5 certification decision (benchmarks/bf16_cert_tpu.json:
+    9.6% convergence-flag flips at collection scale -> promote_to_default
+    false): no dispatch path may silently choose a bf16 input stream —
+    'auto' must resolve to the exact f32 kernels only."""
+    import json
+    import os
+
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "bf16_cert_tpu.json",
+    )
+    if os.path.exists(art):
+        with open(art) as f:
+            decision = json.load(f)
+        assert decision["promote_to_default"] is False, (
+            "bf16_cert artifact now says promote - update the dispatch AND "
+            "this pin together"
+        )
+
+    # Structural check: the auto backend only streams bf16 when the caller
+    # explicitly passes riccati_backend='fused_bf16'.
+    import inspect
+
+    from quattro_tpu.parallel import batch as batch_mod
+
+    src = inspect.getsource(batch_mod._batched_ilqr_solve_fused.__wrapped__
+                            if hasattr(batch_mod._batched_ilqr_solve_fused, "__wrapped__")
+                            else batch_mod._batched_ilqr_solve_fused)
+    assert "stream_dtype=stream_dtype" in src  # threaded, not hardcoded
+    src_solve = inspect.getsource(batch_mod.batched_ilqr_solve)
+    assert 'riccati_backend == "fused_bf16"' in src_solve
