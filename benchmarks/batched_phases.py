@@ -49,7 +49,7 @@ def build(system_batch, horizon):
     return dyn, cost, fcost
 
 
-def bench_shape(batch, horizon, repeats=8):
+def bench_shape(batch, horizon, repeats=8, unroll_sweep=True):
     from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused
     from quattro_tpu.solver.derivatives import (
         linearize_dynamics,
@@ -114,28 +114,111 @@ def bench_shape(batch, horizon, repeats=8):
     # Unroll sweep: the phase is per-trip overhead-bound (tiny (B*A, n) rows
     # per scan step), so unrolling the rollout scan amortizes it with
     # identical numerics (ILQRConfig.linesearch_unroll).
-    for unroll in (4, 8, 16, 32):
-        ls_u = jax.jit(
+    if unroll_sweep:
+        for unroll in (4, 8, 16, 32):
+            ls_u = jax.jit(
+                jax.vmap(
+                    lambda x0_, x_, u_, k_, kb_, c_, _u=unroll: line_search(
+                        dyn, cost, fcost, x0_, x_, u_, k_, kb_, c_, alphas, unroll=_u
+                    )[4]
+                )
+            )
+            out[f"linesearch_unroll{unroll}"] = _time_pipelined(
+                lambda x, u, _f=ls_u: _f(x0, x, u, k, big_k, cost0), (xs, us),
+                repeats=repeats,
+            )
+        out["linesearch_fused"] = _time_pipelined(
+            lambda x, u: ls_fused(x0, x, u, k, big_k, cost0), (xs, us), repeats=repeats
+        )
+
+    # --- r5: the two line-search designs the r4 verdict left untried ---
+    # (a) running cost fused INTO the rollout scan (halves HBM re-reads)
+    for unroll in (1, 8):
+        ls_fc = jax.jit(
             jax.vmap(
                 lambda x0_, x_, u_, k_, kb_, c_, _u=unroll: line_search(
-                    dyn, cost, fcost, x0_, x_, u_, k_, kb_, c_, alphas, unroll=_u
+                    dyn, cost, fcost, x0_, x_, u_, k_, kb_, c_, alphas,
+                    unroll=_u, fuse_cost=True,
                 )[4]
             )
         )
-        out[f"linesearch_unroll{unroll}"] = _time_pipelined(
-            lambda x, u, _f=ls_u: _f(x0, x, u, k, big_k, cost0), (xs, us),
+        key_ = "linesearch_fusecost" if unroll == 1 else f"linesearch_fusecost_unroll{unroll}"
+        out[key_] = _time_pipelined(
+            lambda x, u, _f=ls_fc: _f(x0, x, u, k, big_k, cost0), (xs, us),
             repeats=repeats,
         )
-    out["linesearch_fused"] = _time_pipelined(
-        lambda x, u: ls_fused(x0, x, u, k, big_k, cost0), (xs, us), repeats=repeats
+    # (b) the transposed batch2d rollout kernel (alphas folded into the
+    # sublane*lane pair axis — the r3-verdict proposed layout)
+    from quattro_tpu.solver.rollout import line_search_batched2d
+
+    ls_2d = jax.jit(
+        lambda x0_, x_, u_, k_, kb_, c_: line_search_batched2d(
+            dyn, cost, fcost, x0_, x_, u_, k_, kb_, c_, alphas
+        )[4]
     )
+    out["linesearch_batched2d"] = _time_pipelined(
+        lambda x, u: ls_2d(x0, x, u, k, big_k, cost0), (xs, us), repeats=repeats
+    )
+
+    # --- r5: fused linearize+quadratize kernel + packed backward chain ---
+    # Alignment contract: batch % (tile_s*128) == 0. Pad the batch by row
+    # replication when needed (recorded in packed_pad_batch — the padded rows
+    # do real extra work; the row is honest about its feed).
+    from quattro_tpu.ops.fused_linquad import linquad_batched_fused
+    from quattro_tpu.ops.fused_riccati import riccati_backward_batched_fused2d
+
+    tile_s = max(1, min(8, -(-batch // 128)))
+    chunk = tile_s * 128
+    b_pad = ((batch + chunk - 1) // chunk) * chunk
+    if b_pad != batch:
+        reps = -(-b_pad // batch)
+        xs_p = jnp.concatenate([xs] * reps, axis=0)[:b_pad]
+        us_p = jnp.concatenate([us] * reps, axis=0)[:b_pad]
+    else:
+        xs_p, us_p = xs, us
+    out["packed_pad_batch"] = b_pad
+    fexp_p = fquad(xs_p[:, -1])
+
+    try:
+        lq = jax.jit(lambda x, u: linquad_batched_fused(dyn, cost, x, u)[0])
+        out["linquad_fused"] = _time_pipelined(lq, (xs_p, us_p), repeats=repeats)
+
+        pk = jax.jit(lambda x, u: linquad_batched_fused(dyn, cost, x, u))(xs_p, us_p)
+        back2d = jax.jit(
+            lambda a0: riccati_backward_batched_fused2d(
+                None, None, None, fexp_p.v_x, fexp_p.v_xx,
+                packed_stage=(a0,) + tuple(pk[1:]), horizon=horizon,
+            )[0]
+        )
+        out["backward_fused2d_packed"] = _time_pipelined(back2d, (pk[0],), repeats=repeats)
+
+        chain = jax.jit(
+            lambda x, u: riccati_backward_batched_fused2d(
+                None, None, None, fexp_p.v_x, fexp_p.v_xx,
+                packed_stage=linquad_batched_fused(dyn, cost, x, u),
+                horizon=horizon,
+            )[0]
+        )
+        out["chain_linquad_backward2d"] = _time_pipelined(
+            chain, (xs_p, us_p), repeats=repeats
+        )
+    except Exception as exc:  # Mosaic lowering boundaries stay recorded, not fatal
+        out["packed_error"] = f"{type(exc).__name__}: {exc}"[:400]
+
     out["iteration_total_xla_ls"] = (
         out["linearize"] + out["quadratize"] + out["backward_fused"] + out["linesearch"]
     )
-    out["iteration_total_fused_ls"] = (
-        out["linearize"] + out["quadratize"] + out["backward_fused"]
-        + out["linesearch_fused"]
+    if unroll_sweep:
+        out["iteration_total_fused_ls"] = (
+            out["linearize"] + out["quadratize"] + out["backward_fused"]
+            + out["linesearch_fused"]
+        )
+    best_ls = min(
+        out["linesearch"], out["linesearch_fusecost"],
+        out["linesearch_fusecost_unroll8"], out["linesearch_batched2d"],
     )
+    if b_pad == batch and "chain_linquad_backward2d" in out:
+        out["iteration_total_packed"] = out["chain_linquad_backward2d"] + best_ls
     out["shape"] = {"batch": batch, "horizon": horizon, "n": n, "m": m}
     return out
 
@@ -143,6 +226,7 @@ def bench_shape(batch, horizon, repeats=8):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--json", default=None)
+    parser.add_argument("--resweep-unroll", action="store_true")
     args = parser.parse_args()
 
     jax.config.update(
@@ -150,10 +234,27 @@ def main():
     )
 
     out = {"backend": jax.default_backend()}
-    out["sweep_B512_H50"] = bench_shape(512, 50)
+    # The unroll sweep (and the superseded alphas-on-sublanes linesearch_fused
+    # row) is stable round-to-round; skip re-measuring it and carry the
+    # committed rows forward (--resweep-unroll re-measures).
+    out["sweep_B512_H50"] = bench_shape(512, 50, unroll_sweep=args.resweep_unroll)
     print(json.dumps({"sweep_B512_H50": out["sweep_B512_H50"]}, indent=2), flush=True)
-    out["pod_feed_B64_H1024"] = bench_shape(64, 1024)
+    out["pod_feed_B64_H1024"] = bench_shape(64, 1024, unroll_sweep=args.resweep_unroll)
     print(json.dumps({"pod_feed_B64_H1024": out["pod_feed_B64_H1024"]}, indent=2), flush=True)
+    # Alignment-clean pod-feed variant: B=128 satisfies the packed-path
+    # contract with no padding, so iteration_total_packed is apples-to-apples.
+    out["pod_feed_B128_H1024"] = bench_shape(128, 1024, unroll_sweep=False)
+    print(json.dumps({"pod_feed_B128_H1024": out["pod_feed_B128_H1024"]}, indent=2), flush=True)
+
+    prior_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "batched_phases_tpu.json")
+    if os.path.exists(prior_path):
+        with open(prior_path) as f:
+            prior = json.load(f)
+        for shape_key, shape_out in out.items():
+            if isinstance(shape_out, dict) and shape_key in prior:
+                for k, v in prior[shape_key].items():
+                    shape_out.setdefault(k, v)
 
     if args.json:
         with open(args.json, "w") as f:

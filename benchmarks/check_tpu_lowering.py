@@ -183,6 +183,34 @@ def main() -> int:
             x0_b, uref_b,
         )
 
+    # Fused linearize+quadratize kernel (r5) + the packed chain into the
+    # batch2d backward — the cost's Hessian graph is traced IN-kernel here,
+    # so this is where a select/bool-transpose in a cost derivative path
+    # surfaces (history: the softplus barrier's max/abs autodiff rules emitted
+    # a vector<...xi1> tpu.transpose until costs.py pinned analytic
+    # custom_jvp derivatives).
+    from quattro_tpu.ops.fused_linquad import linquad_batched_fused
+
+    for batch, horizon in ((512, 50), (128, 1024)):
+        x_b = jnp.broadcast_to(x0, (batch, horizon + 1, n))
+        u_b = jnp.zeros((batch, horizon, m))
+        check(
+            f"linquad_batched_fused B{batch}xH{horizon}",
+            lambda xb, ub: linquad_batched_fused(dyn, cost, xb, ub)[0],
+            x_b, u_b,
+        )
+        vx_c = jnp.broadcast_to(fexp.v_x, (batch, n))
+        vxx_c = jnp.broadcast_to(fexp.v_xx, (batch, n, n))
+        check(
+            f"linquad->backward2d packed chain B{batch}xH{horizon}",
+            lambda xb, ub, _vx=vx_c, _vxx=vxx_c, _h=horizon: riccati_backward_batched_fused2d(
+                None, None, None, _vx, _vxx,
+                packed_stage=linquad_batched_fused(dyn, cost, xb, ub),
+                horizon=_h,
+            )[0],
+            x_b, u_b,
+        )
+
     if failures:
         print(f"FAILED: {failures}")
         return 1

@@ -177,6 +177,7 @@ def _batched_ilqr_solve_fused(
                 lambda x0, x, u, kk, kb, c: line_search(
                     dynamics, cost, final_cost, x0, x, u, kk, kb, c, alphas,
                     unroll=config.linesearch_unroll,
+                    fuse_cost=config.linesearch_fuse_cost,
                 )
             )(x0_batch, xs, us, k, big_k, cs)
 

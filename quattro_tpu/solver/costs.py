@@ -13,8 +13,10 @@ differences.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 RunningCost = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
@@ -79,6 +81,25 @@ def make_quadratic_final_cost(qf: jnp.ndarray, x_ref: jnp.ndarray) -> FinalCost:
     return cost
 
 
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _softplus_stable(z: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """``log1p(exp(beta z))/beta`` via the overflow-safe max/abs form."""
+    return jnp.maximum(z, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(beta * z))) / beta
+
+
+@_softplus_stable.defjvp
+def _softplus_stable_jvp(beta, primals, tangents):
+    # Analytic derivative softplus'(z) = sigmoid(beta z), declared explicitly
+    # so differentiation never touches the primal's max/abs: their autodiff
+    # rules emit boolean selects, whose mask transposes Mosaic cannot legalize
+    # when a fused kernel (ops/fused_linquad.py, ops/fused_solve.py) traces
+    # cost Hessians in-kernel. sigmoid is the lax.logistic primitive and every
+    # higher derivative of it is select-free, so forward-over-reverse Hessians
+    # of the barrier lower cleanly on TPU.
+    (z,), (z_dot,) = primals, tangents
+    return _softplus_stable(z, beta), jax.nn.sigmoid(beta * z) * z_dot
+
+
 def softplus_barrier(u: jnp.ndarray, beta: float = 10.0) -> jnp.ndarray:
     """Smooth penalty for u < 0: ``sum softplus(-u, beta)^2``.
 
@@ -86,8 +107,7 @@ def softplus_barrier(u: jnp.ndarray, beta: float = 10.0) -> jnp.ndarray:
     (quadrotor_mpc.py:74-93). Uses the numerically-stable formulation
     ``softplus(z) = max(z, 0) + log1p(exp(-|beta z|))/beta`` so large positive
     arguments don't overflow under float32 (the reference's ``np.log1p(np.exp(.))``
-    overflows for beta*z > ~700 in float64 and much earlier in float32).
+    overflows for beta*z > ~700 in float64 and much earlier in float32), with
+    branch-free analytic derivatives (see ``_softplus_stable_jvp``).
     """
-    z = -u
-    stable = jnp.maximum(z, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(beta * z))) / beta
-    return jnp.sum(stable**2)
+    return jnp.sum(_softplus_stable(-u, beta) ** 2)

@@ -108,6 +108,13 @@ class ILQRConfig(NamedTuple):
     # batched_phases.py sweep). Keep 1 for single-trajectory latency paths
     # (the fused rollout kernel owns that regime).
     linesearch_unroll: int = 1
+    # Accumulate the running cost INSIDE the "xla" line-search rollout scan
+    # instead of a second pass over the materialized trajectories — halves
+    # the phase's HBM re-reads. Same cost value up to f32 summation order
+    # (sequential accumulation vs stacked-axis sum), so a near-tie accept can
+    # flip on individual lanes; off by default (reference summation
+    # semantics). benchmarks/batched_phases.py measures both forms.
+    linesearch_fuse_cost: bool = False
 
 
 # Fail fast on typo'd mode strings at construction rather than deep inside a
@@ -138,6 +145,14 @@ def _validate_config(self):
             "linesearch_unroll only affects linesearch='xla' (it unrolls the "
             "XLA rollout scan); combining it with linesearch='fused' has no "
             f"effect (got linesearch_unroll={self.linesearch_unroll})"
+        )
+    if self.linesearch == "fused" and self.linesearch_fuse_cost:
+        # The fused rollout kernels evaluate costs OUTSIDE the kernel (XLA);
+        # there is no in-scan accumulation to switch on.
+        raise ValueError(
+            "linesearch_fuse_cost only affects linesearch='xla' (it folds the "
+            "running cost into the XLA rollout scan); combining it with "
+            "linesearch='fused' has no effect"
         )
     return self
 
@@ -210,8 +225,12 @@ def _backward(config: ILQRConfig):
 
 def _line_search(config: ILQRConfig):
     if config.linesearch == "xla":
-        if config.linesearch_unroll != 1:
-            return partial(line_search, unroll=config.linesearch_unroll)
+        if config.linesearch_unroll != 1 or config.linesearch_fuse_cost:
+            return partial(
+                line_search,
+                unroll=config.linesearch_unroll,
+                fuse_cost=config.linesearch_fuse_cost,
+            )
         return line_search
     if config.linesearch == "fused":
         return line_search_fused

@@ -227,6 +227,40 @@ def line_search_batched_fused(
     )(cand_x, cand_u, cand_cost, x_ref_batch, u_ref_batch, current_cost, alphas)
 
 
+def line_search_batched2d(
+    dynamics: Dynamics,
+    cost: RunningCost,
+    final_cost: FinalCost,
+    x0_batch: jnp.ndarray,  # (B, n)
+    x_ref_batch: jnp.ndarray,  # (B, H+1, n)
+    u_ref_batch: jnp.ndarray,  # (B, H, m)
+    k_batch: jnp.ndarray,  # (B, H, m)
+    big_k_batch: jnp.ndarray,  # (B, H, m, n)
+    current_cost: jnp.ndarray,  # (B,)
+    alphas: jnp.ndarray,  # (A,)
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``line_search_batched_fused`` with the batch2d (transposed) kernel.
+
+    Same contract; the rollouts run in the r5 kernel that packs the
+    (alpha, batch) pair axis onto sublanes AND lanes
+    (ops/fused_rollout.py::fused_feedback_rollouts_batched2d) instead of the
+    alphas-on-sublanes layout that measured 3-5x slower than XLA. Costs and
+    the per-trajectory first-accept select stay in XLA.
+    """
+    from quattro_tpu.ops.fused_rollout import fused_feedback_rollouts_batched2d
+
+    cand_x, cand_u = fused_feedback_rollouts_batched2d(
+        dynamics, x0_batch, x_ref_batch, u_ref_batch, k_batch, big_k_batch,
+        alphas, interpret=interpret,
+    )
+    traj_cost = lambda xs, us: trajectory_cost(cost, final_cost, xs, us)
+    cand_cost = jax.vmap(jax.vmap(traj_cost))(cand_x, cand_u)  # (A, B)
+    return jax.vmap(
+        _first_accept_select, in_axes=(1, 1, 1, 0, 0, 0, None)
+    )(cand_x, cand_u, cand_cost, x_ref_batch, u_ref_batch, current_cost, alphas)
+
+
 def _first_accept_select(cand_x, cand_u, cand_cost, x_ref_seq, u_ref_seq, current_cost, alphas):
     accepted = cand_cost <= current_cost
     found = jnp.any(accepted)

@@ -271,3 +271,58 @@ def test_fused2d_batched_rollouts_match_double_vmap():
     )(alphas)
     np.testing.assert_allclose(np.asarray(cand_x), np.asarray(ref_x), rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(cand_u), np.asarray(ref_u), rtol=1e-12, atol=1e-12)
+
+
+def test_line_search_batched2d_matches_vmapped_line_search():
+    """r5 wrapper: batch2d rollout kernel + XLA cost/select reproduces
+    vmap(line_search) exactly in f64 interpret mode (found flag, chosen
+    alpha, trajectories, cost)."""
+    from quattro_tpu.solver.rollout import line_search_batched2d, simulate
+
+    dyn, x0, x_ref, u_ref, k_seq, big_k = _quad_batch_setup(batch=3, horizon=9)
+    q = jnp.asarray(
+        [10.0, 10.0, 50.0, 1, 1, 1, 10.0, 10.0, 50.0, 1, 1, 1], x0.dtype
+    )
+    cost = make_quadratic_cost(q, jnp.full((4,), 0.01, x0.dtype), jnp.zeros(12, x0.dtype))
+    fcost = make_quadratic_final_cost(10 * q, jnp.zeros(12, x0.dtype))
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.05, 0.01], x0.dtype)
+
+    def traj_cost(xs, us):
+        return jnp.sum(jax.vmap(cost)(xs[:-1], us)) + fcost(xs[-1])
+
+    xs = jax.vmap(lambda x, u: simulate(dyn, x, u))(x0, u_ref)
+    c0 = jax.vmap(traj_cost)(xs, u_ref)
+
+    ref = jax.vmap(
+        lambda x0_, x_, u_, kk_, kb_, c_: line_search(
+            dyn, cost, fcost, x0_, x_, u_, kk_, kb_, c_, alphas
+        )
+    )(x0, xs, u_ref, k_seq, big_k, c0)
+    got = line_search_batched2d(
+        dyn, cost, fcost, x0, xs, u_ref, k_seq, big_k, c0, alphas,
+        interpret=True,
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(
+            np.asarray(r, dtype=np.float64), np.asarray(g, dtype=np.float64),
+            rtol=1e-12, atol=1e-12,
+        )
+
+
+def test_fuse_cost_rollout_matches_two_pass():
+    """feedback_rollout(fuse_cost=True) returns the same trajectory exactly
+    and the same total cost up to f64 summation-order noise."""
+    dyn, x0, x_ref, u_ref, k_seq, big_k = _quad_batch_setup(batch=1, horizon=11)
+    q = jnp.asarray(
+        [10.0, 10.0, 50.0, 1, 1, 1, 10.0, 10.0, 50.0, 1, 1, 1], x0.dtype
+    )
+    cost = make_quadratic_cost(q, jnp.full((4,), 0.01, x0.dtype), jnp.zeros(12, x0.dtype))
+    fcost = make_quadratic_final_cost(10 * q, jnp.zeros(12, x0.dtype))
+
+    args = (dyn, cost, fcost, x0[0], x_ref[0], u_ref[0], k_seq[0], big_k[0],
+            jnp.asarray(0.5, x0.dtype))
+    x_a, u_a, c_a = feedback_rollout(*args)
+    x_b, u_b, c_b = feedback_rollout(*args, fuse_cost=True)
+    np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_b), rtol=0, atol=0)
+    np.testing.assert_allclose(float(c_a), float(c_b), rtol=1e-12)

@@ -418,3 +418,26 @@ def test_linesearch_unroll_identical_solve():
     )
     np.testing.assert_array_equal(np.asarray(base.u_seq), np.asarray(unrolled.u_seq))
     assert int(base.iterations) == int(unrolled.iterations)
+
+
+def test_linesearch_fuse_cost_solves_and_validates():
+    """linesearch_fuse_cost folds cost accumulation into the rollout scan:
+    same solution on a well-separated problem; combining it with the fused
+    rollout kernel (which has no in-scan cost) must fail loudly."""
+    dyn = make_discrete(cartpole_dynamics, 0.01, "rk4")
+    cost = make_quadratic_cost(
+        jnp.array([5.0, 0.1, 10.0, 0.1]), jnp.array([0.001]), jnp.zeros(4)
+    )
+    fcost = make_quadratic_final_cost(jnp.array([50.0, 6.0, 100.0, 0.1]), jnp.zeros(4))
+    x0 = jnp.array([0.1, 0.0, 0.15, 0.0])
+    u0 = jnp.zeros((20, 1))
+    ref = ilqr_solve(dyn, cost, fcost, x0, u0, ILQRConfig(tol=1e-8, max_iter=12))
+    got = ilqr_solve(
+        dyn, cost, fcost, x0, u0,
+        ILQRConfig(tol=1e-8, max_iter=12, linesearch_fuse_cost=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.u_seq), np.asarray(ref.u_seq), rtol=1e-6, atol=1e-9
+    )
+    with pytest.raises(ValueError, match="linesearch_fuse_cost"):
+        ILQRConfig(linesearch="fused", linesearch_fuse_cost=True)
