@@ -239,6 +239,7 @@ def line_search_batched2d(
     current_cost: jnp.ndarray,  # (B,)
     alphas: jnp.ndarray,  # (A,)
     interpret: bool = False,
+    tile_s: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """``line_search_batched_fused`` with the batch2d (transposed) kernel.
 
@@ -247,12 +248,20 @@ def line_search_batched2d(
     (ops/fused_rollout.py::fused_feedback_rollouts_batched2d) instead of the
     alphas-on-sublanes layout that measured 3-5x slower than XLA. Costs and
     the per-trajectory first-accept select stay in XLA.
+
+    On hardware ``tile_s`` defaults to 8 (full f32 vregs): sub-vreg tiles
+    stall the Mosaic binary compile (the batch2d backward kernel's measured
+    boundary, BASELINE.md r5), and the kernel pads the (alpha, batch) pair
+    axis up to a whole chunk internally, so a narrow feed still runs — it
+    just wastes the padded sublanes. Interpret mode keeps the natural width.
     """
     from quattro_tpu.ops.fused_rollout import fused_feedback_rollouts_batched2d
 
+    if tile_s is None and not interpret:
+        tile_s = 8
     cand_x, cand_u = fused_feedback_rollouts_batched2d(
         dynamics, x0_batch, x_ref_batch, u_ref_batch, k_batch, big_k_batch,
-        alphas, interpret=interpret,
+        alphas, interpret=interpret, tile_s=tile_s,
     )
     traj_cost = lambda xs, us: trajectory_cost(cost, final_cost, xs, us)
     cand_cost = jax.vmap(jax.vmap(traj_cost))(cand_x, cand_u)  # (A, B)
